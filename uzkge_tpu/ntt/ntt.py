@@ -1,0 +1,158 @@
+"""Radix-2 NTT over BN254 Fr on TPU.
+
+Matches ark-poly `Radix2EvaluationDomain` semantics (natural-order
+evaluations at [w^0 .. w^{n-1}], root derived from the field's 2-adic root —
+reference uzkge/src/poly_commit/field_polynomial.rs:552-607), implemented
+TPU-first:
+
+  * decimation-in-time as a `lax.scan` over log2(n) stages; each stage is a
+    gather-pair butterfly  out[i] = x[lo[i]] + tw[i] * x[hi[i]]  where the
+    per-stage signed twiddle (negation folded in via w^{n/2} = -1) comes from
+    one master power table — so the traced graph is one Montgomery mul + add
+    plus three gathers, *independent of n*;
+  * all data stays in the Montgomery limb layout of uzkge_tpu.ff.jax_field;
+  * coset FFTs scale coefficients by k^j (precomputed power ladders), which
+    is how the reference does `coset_fft_with_domain` via `mul_var`
+    (field_polynomial.rs:589-607).
+
+The quotient-domain work uses a *radix-2 8n domain* rather than the
+reference's mixed-radix 6n domain: the interpolated quotient polynomial is
+identical (deg t < 6n <= 8n), so nothing transcript-visible changes, and the
+NTT stays pure radix-2 (see SURVEY.md section 7 step 2).
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ff.field import Fr
+from ..ff.jax_field import MontCtx, fr_ctx, L
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    k = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.uint32)
+    rev = np.zeros(n, dtype=np.uint32)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev.astype(np.int32)
+
+
+class NTTDomain:
+    """A size-n radix-2 evaluation domain with device-resident tables."""
+
+    def __init__(self, n: int, ctx: MontCtx = fr_ctx):
+        assert n & (n - 1) == 0 and n > 0
+        self.n = n
+        self.ctx = ctx
+        self.log_n = max(n.bit_length() - 1, 1)
+        p = ctx.p
+        self.omega = Fr.root_of_unity(n) if n > 1 else 1
+        self.omega_inv = pow(self.omega, p - 2, p)
+        self.n_inv = pow(n, p - 2, p)
+        self.bitrev = jnp.asarray(_bit_reverse_indices(n))
+
+        # master power table: omega^j for j in [0, n)
+        pows = [1]
+        for _ in range(n - 1):
+            pows.append(pows[-1] * self.omega % p)
+        self._pows_int = pows
+        self.master = ctx.to_mont_limbs(pows).reshape(n, L)
+
+        # per-stage butterfly tables (stacked for lax.scan)
+        k = self.log_n
+        lo_t = np.zeros((k, n), dtype=np.int32)
+        hi_t = np.zeros((k, n), dtype=np.int32)
+        twe_t = np.zeros((k, n), dtype=np.int32)
+        i = np.arange(n, dtype=np.int64)
+        for s in range(1, k + 1):
+            half = 1 << (s - 1)
+            pos = i & ((1 << s) - 1)
+            j = pos & (half - 1)
+            is_hi = (pos >= half).astype(np.int64)
+            lo = ((i >> s) << s) | j
+            lo_t[s - 1] = lo
+            hi_t[s - 1] = lo | half
+            twe_t[s - 1] = (n >> s) * j + is_hi * (n >> 1)
+        self.lo_t = jnp.asarray(lo_t)
+        self.hi_t = jnp.asarray(hi_t)
+        self.twe_fwd = jnp.asarray(twe_t)
+        self.twe_inv = jnp.asarray((n - twe_t) % n)
+        self.n_inv_arr = ctx.to_mont_limbs(self.n_inv)
+
+        self._fft_jit = jax.jit(partial(self._core, inverse=False))
+        self._ifft_jit = jax.jit(partial(self._core, inverse=True))
+
+    # All device inputs/outputs: (n, L) uint32 Montgomery limb arrays.
+
+    def _core(self, x, inverse: bool):
+        ctx = self.ctx
+        if self.n == 1:
+            return x
+        twe = self.twe_inv if inverse else self.twe_fwd
+
+        def body(acc, tables):
+            lo, hi, te = tables
+            u = acc[lo]
+            tw = self.master[te]
+            v = ctx.mul(acc[hi], tw)
+            return ctx.add(u, v), None
+
+        x, _ = jax.lax.scan(body, x[self.bitrev], (self.lo_t, self.hi_t, twe))
+        if inverse:
+            x = ctx.mul(x, jnp.broadcast_to(self.n_inv_arr, x.shape))
+        return x
+
+    def _pad(self, coeffs):
+        m = coeffs.shape[0]
+        if m < self.n:
+            coeffs = jnp.concatenate(
+                [coeffs, jnp.zeros((self.n - m, L), dtype=jnp.uint32)], axis=0
+            )
+        assert coeffs.shape[0] == self.n
+        return coeffs
+
+    def fft(self, coeffs):
+        """coeffs (m<=n, L) -> evaluations (n, L) at [w^0..w^{n-1}]."""
+        return self._fft_jit(self._pad(coeffs))
+
+    def ifft(self, evals):
+        """evaluations (n, L) -> coefficients (n, L)."""
+        return self._ifft_jit(evals)
+
+    def coset_scale(self, coeffs, k: int):
+        """p(X) -> p(kX): scale coefficient j by k^j."""
+        coeffs = self._pad(coeffs)
+        powers = self.power_ladder(k)
+        return self.ctx.mul(coeffs, powers)
+
+    @lru_cache(maxsize=32)
+    def _ladder_cached(self, k: int):
+        p = self.ctx.p
+        out = [1]
+        for _ in range(self.n - 1):
+            out.append(out[-1] * k % p)
+        return self.ctx.to_mont_limbs(out)
+
+    def power_ladder(self, k: int):
+        return self._ladder_cached(k % self.ctx.p)
+
+    def coset_fft(self, coeffs, k: int):
+        return self.fft(self.coset_scale(coeffs, k))
+
+    def coset_ifft(self, evals, k: int):
+        """Inverse of coset_fft: ifft then scale by k^-j."""
+        coeffs = self.ifft(evals)
+        k_inv = pow(k, self.ctx.p - 2, self.ctx.p)
+        return self.coset_scale(coeffs, k_inv)
+
+    def elements(self):
+        """Host-side domain elements [1, w, w^2, ...] as python ints."""
+        return list(self._pows_int)
+
+
+@lru_cache(maxsize=16)
+def get_domain(n: int) -> NTTDomain:
+    return NTTDomain(n)

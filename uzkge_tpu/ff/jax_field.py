@@ -85,6 +85,7 @@ class MontCtx:
             return out[0]
         return out
 
+
     # ---------------- core limb helpers (traced) ----------------
 
     @staticmethod
@@ -95,98 +96,123 @@ class MontCtx:
     def _join(limbs):
         return jnp.stack(limbs, axis=-1)
 
-    def _geq_p(self, t):
-        """t >= p, computed via borrow chain of t - p."""
-        borrow = jnp.zeros_like(t[0])
-        for j in range(L):
-            d = t[j].astype(jnp.int32) - np.int32(self.p_limbs[j]) - borrow.astype(jnp.int32)
-            borrow = (d < 0).astype(jnp.uint32)
-        return borrow == 0
+    @staticmethod
+    def _shift_up(x, d):
+        """Shift lanes toward higher limb index by d (zero fill)."""
+        pad = jnp.zeros(x.shape[:-1] + (d,), dtype=x.dtype)
+        return jnp.concatenate([pad, x[..., :-d]], axis=-1)
+
+    @classmethod
+    def _ks_normalize(cls, s):
+        """Kogge-Stone carry resolution for lanes with values <= 2^17 - 1.
+        Returns (normalized 16-bit lanes, carry-out of the top lane).
+        Log-depth vector form — sequential per-limb ripple chains make XLA
+        compile time explode, this doesn't."""
+        slo = s & MASK
+        g = s >> BITS  # generate: 0/1
+        p = (slo == MASK).astype(jnp.uint32)  # propagate
+        G, Pk = g, p
+        d = 1
+        while d < L:
+            G = G | (Pk & cls._shift_up(G, d))
+            Pk = Pk & cls._shift_up(Pk, d)
+            d *= 2
+        cin = cls._shift_up(G, 1)
+        out = (slo + cin) & MASK
+        return out, G[..., L - 1]
+
+    def _comp_p(self):
+        return jnp.asarray(np.array([MASK - l for l in self.p_limbs], dtype=np.uint32))
 
     def _cond_sub_p(self, t):
-        cond = self._geq_p(t)
-        out = []
-        borrow = jnp.zeros_like(t[0])
-        for j in range(L):
-            d = t[j] - np.uint32(self.p_limbs[j]) - borrow
-            out.append(d & MASK)
-            borrow = (d >> 31)  # underflow wraps: top bit set iff borrow
-        return [jnp.where(cond, o, tj) for o, tj in zip(out, t)]
+        """t (list of lanes or array) -> t - p if t >= p else t."""
+        if isinstance(t, list):
+            t = self._join(t)
+        comp = self._comp_p()
+        s = t + comp
+        s = s.at[..., 0].add(1)
+        out, carry = self._ks_normalize(s)
+        res = jnp.where((carry == 1)[..., None], out, t)
+        return [res[..., j] for j in range(L)]
 
     # ---------------- public ops (jittable on (..., L) uint32) ----------------
 
     def add(self, a, b):
-        al, bl = self._split(a), self._split(b)
-        out = []
-        carry = jnp.zeros_like(al[0])
-        for j in range(L):
-            s = al[j] + bl[j] + carry
-            out.append(s & MASK)
-            carry = s >> BITS
-        # p < 2^254 so the sum fits in 256 bits; carry out of limb 15 is 0
-        out = self._cond_sub_p(out)
-        return self._join(out)
+        s = a + b  # lanes <= 2^17 - 2
+        out, _ = self._ks_normalize(s)  # carry-out impossible: a + b < 2p < 2^255
+        return self._join(self._cond_sub_p(out))
 
     def sub(self, a, b):
-        al, bl = self._split(a), self._split(b)
-        diff = []
-        borrow = jnp.zeros_like(al[0])
-        for j in range(L):
-            d = al[j] - bl[j] - borrow
-            diff.append(d & MASK)
-            borrow = d >> 31
-        need_p = borrow != 0
-        out = []
-        carry = jnp.zeros_like(al[0])
-        for j in range(L):
-            s = diff[j] + jnp.where(need_p, np.uint32(self.p_limbs[j]), np.uint32(0)) + carry
-            out.append(s & MASK)
-            carry = s >> BITS
-        return self._join(out)
+        # a - b = a + ~b + 1 (limb complement); borrow if no carry-out
+        compb = (MASK - b) & MASK
+        s = a + compb
+        s = s.at[..., 0].add(1)
+        out, carry = self._ks_normalize(s)
+        borrow = (carry == 0)
+        s2 = out + jnp.where(borrow[..., None], self.p_arr, jnp.uint32(0))
+        out2, _ = self._ks_normalize(s2)  # carry cancels the borrow
+        return out2
 
     def neg(self, a):
         """-a mod p (maps 0 to 0)."""
-        al = self._split(a)
-        is_zero = al[0] == 0
-        for j in range(1, L):
-            is_zero = is_zero & (al[j] == 0)
-        out = []
-        borrow = jnp.zeros_like(al[0])
-        for j in range(L):
-            d = np.uint32(self.p_limbs[j]) - al[j] - borrow
-            out.append(d & MASK)
-            borrow = d >> 31
-        out = [jnp.where(is_zero, jnp.zeros_like(o), o) for o in out]
-        return self._join(out)
+        compa = (MASK - a) & MASK
+        s = self.p_arr + compa
+        s = s.at[..., 0].add(1)
+        out, _ = self._ks_normalize(s)
+        is_zero = jnp.all(a == 0, axis=-1, keepdims=True)
+        return jnp.where(is_zero, jnp.zeros_like(out), out)
 
-    def mul(self, a, b):
-        """CIOS Montgomery multiplication: returns a*b*R^-1 mod p."""
-        al, bl = self._split(a), self._split(b)
+    def mul(self, a, b, unroll: bool = False):
+        """Delayed-carry CIOS Montgomery multiplication: a*b*R^-1 mod p.
+
+        Limb lanes are uint32 *accumulators* with weight 2^(16j); partial
+        products are split lo/hi and accumulated without carry propagation
+        (per-lane growth <= 16 iterations * 4 * 2^16 < 2^22, so no overflow),
+        with a single carry normalization at the end.  The 16 outer CIOS
+        iterations run as a lax.fori_loop by default so the traced graph is
+        tiny (compile time matters: kernels contain hundreds of muls);
+        `unroll=True` unrolls them for latency-critical standalone use."""
+        p_arr = self.p_arr
         n0inv = np.uint32(self.n0inv)
-        zero = jnp.zeros_like(al[0])
-        t = [zero] * (L + 1)
-        for i in range(L):
-            bi = bl[i]
-            # t += a * b[i]
-            c = zero
-            for j in range(L):
-                s = t[j] + al[j] * bi + c
-                t[j] = s & MASK
-                c = s >> BITS
-            t[L] = t[L] + c  # t[L] < 2^17 bounded; kept full in uint32
-            # m = t[0] * n0inv mod 2^16 ; t += m * p ; t >>= 16
-            m = (t[0] * n0inv) & MASK
-            s = t[0] + m * np.uint32(self.p_limbs[0])
-            c = s >> BITS
-            for j in range(1, L):
-                s = t[j] + m * np.uint32(self.p_limbs[j]) + c
-                t[j - 1] = s & MASK
-                c = s >> BITS
-            s = t[L] + c
-            t[L - 1] = s & MASK
-            t[L] = s >> BITS
-        # CIOS bound: result < 2p (since 4p < R), so t[L] == 0 here
-        out = self._cond_sub_p(t[:L])
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        a = jnp.broadcast_to(a, shape)
+        b = jnp.broadcast_to(b, shape)
+        zcol = jnp.zeros(shape[:-1] + (1,), dtype=jnp.uint32)
+
+        def pad_r(x):  # weight-aligned into L+1 lanes (low part)
+            return jnp.concatenate([x, zcol], axis=-1)
+
+        def pad_l(x):  # shifted one lane up (high part)
+            return jnp.concatenate([zcol, x], axis=-1)
+
+        def step(t, bi):
+            prod = a * bi  # full 32-bit products
+            t = t + pad_r(prod & MASK) + pad_l(prod >> BITS)
+            m = ((t[..., 0:1] & MASK) * n0inv) & MASK
+            mp = p_arr * m
+            t = t + pad_r(mp & MASK) + pad_l(mp >> BITS)
+            # divide by 2^16: drop lane 0 (its low bits are 0 by construction
+            # of m) and fold its high bits into the new lane 0
+            carry0 = t[..., 0:1] >> BITS
+            return jnp.concatenate([t[..., 1:2] + carry0, t[..., 2:], zcol], axis=-1)
+
+        t = jnp.zeros(shape[:-1] + (L + 1,), dtype=jnp.uint32)
+        if unroll:
+            for i in range(L):
+                t = step(t, b[..., i : i + 1])
+        else:
+            def body(i, t):
+                bi = jax.lax.dynamic_slice_in_dim(b, i, 1, axis=-1)
+                return step(t, bi)
+
+            t = jax.lax.fori_loop(0, L, body, t)
+        # final carry normalization: one folding pass brings lanes (< 2^22)
+        # to <= 2^16 + 63, then Kogge-Stone finishes exactly.  CIOS bound:
+        # result < 2p (4p < R), so the top lane vanishes.
+        t = t[..., :L]
+        t = (t & MASK) + self._shift_up(t >> BITS, 1)
+        out, _ = self._ks_normalize(t)
+        out = self._cond_sub_p(out)
         return self._join(out)
 
     def sqr(self, a):

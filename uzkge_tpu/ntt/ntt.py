@@ -84,6 +84,8 @@ class NTTDomain:
 
         self._fft_jit = jax.jit(partial(self._core, inverse=False))
         self._ifft_jit = jax.jit(partial(self._core, inverse=True))
+        self._fft_batch_jit = jax.jit(jax.vmap(partial(self._core, inverse=False)))
+        self._ifft_batch_jit = jax.jit(jax.vmap(partial(self._core, inverse=True)))
 
     # All device inputs/outputs: (n, L) uint32 Montgomery limb arrays.
 
@@ -121,6 +123,25 @@ class NTTDomain:
     def ifft(self, evals):
         """evaluations (n, L) -> coefficients (n, L)."""
         return self._ifft_jit(evals)
+
+    def fft_batch(self, coeffs):
+        """(B, m<=n, L) -> (B, n, L)."""
+        m = coeffs.shape[1]
+        if m < self.n:
+            pad = jnp.zeros((coeffs.shape[0], self.n - m, L), dtype=jnp.uint32)
+            coeffs = jnp.concatenate([coeffs, pad], axis=1)
+        return self._fft_batch_jit(coeffs)
+
+    def ifft_batch(self, evals):
+        return self._ifft_batch_jit(evals)
+
+    def coset_fft_batch(self, coeffs, k: int):
+        m = coeffs.shape[1]
+        if m < self.n:
+            pad = jnp.zeros((coeffs.shape[0], self.n - m, L), dtype=jnp.uint32)
+            coeffs = jnp.concatenate([coeffs, pad], axis=1)
+        powers = self.power_ladder(k)
+        return self._fft_batch_jit(self.ctx.mul(coeffs, powers[None]))
 
     def coset_scale(self, coeffs, k: int):
         """p(X) -> p(kX): scale coefficient j by k^j."""

@@ -1,0 +1,210 @@
+"""KZG polynomial commitment scheme over BN254.
+
+Commit = MSM on TPU (uzkge_tpu.msm); open/verify = host-side group ops and
+pairings (tiny).  Mirrors the reference's scheme semantics exactly:
+  - coefficient-basis commit over SRS powers (kzg_poly_commitment.rs:278-293);
+  - Lagrange-basis commit + `apply_blind_factors` over the vanishing part
+    (kzg_poly_commitment.rs:299-313), the path the prover always takes;
+  - `batch_prove` alpha-combination at one point with the transcript protocol
+    of pcs.rs:107-168 (domain separator, field size, max_degree, point);
+  - `batch_verify_diff_points` single multi-pairing (kzg:373-423).
+"""
+
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants.bn254 import R_MOD, Q_MOD
+from ..ff.field import Fr
+from ..ff.jax_field import fr_ctx, L
+from ..curve.bn254 import g1_add, g1_mul, g1_neg, G2_GEN, g2_mul
+from ..msm.msm import MSMBases, msm
+from ..ntt.ntt import get_domain
+from ..utils.transcript import Transcript
+from .pairing import multi_pairing_is_one
+
+
+class KZG:
+    """SRS container + commitment operations."""
+
+    def __init__(self, g1_powers: List, g2_powers: List, lagrange_bases: Optional[List] = None):
+        self.g1_powers = g1_powers  # affine points; entries may be None (SRS padding gaps)
+        self.g2_powers = g2_powers  # [G2, s*G2]
+        # contiguous prefix usable for coefficient commits
+        contig = 0
+        while contig < len(g1_powers) and g1_powers[contig] is not None:
+            contig += 1
+        self.max_contig = contig
+        self._coef_bases = None
+        self._lagrange = None
+        if lagrange_bases is not None:
+            self.set_lagrange(lagrange_bases)
+
+    @staticmethod
+    def setup_insecure(max_degree: int, tau: int, domain_n: Optional[int] = None) -> "KZG":
+        """Dev/test SRS with a known tau (reference `KZGCommitmentScheme::new`
+        with a random tau, kzg:183-204).  Optionally with Lagrange bases over
+        a size-n domain."""
+        g1 = [g1_mul((1, 2), pow(tau, i, R_MOD)) for i in range(max_degree + 1)]
+        g2 = [G2_GEN, g2_mul(G2_GEN, tau)]
+        lagrange = None
+        if domain_n:
+            # L_i(tau) * G = (w^i/n) * (tau^n - 1)/(tau - w^i) * G
+            n = domain_n
+            w = Fr.root_of_unity(n)
+            n_inv = pow(n, R_MOD - 2, R_MOD)
+            zt = (pow(tau, n, R_MOD) - 1) % R_MOD
+            lagrange = []
+            wi = 1
+            for _ in range(n):
+                li = wi * n_inv % R_MOD * zt % R_MOD * pow((tau - wi) % R_MOD, R_MOD - 2, R_MOD) % R_MOD
+                lagrange.append(g1_mul((1, 2), li))
+                wi = wi * w % R_MOD
+        return KZG(g1, g2, lagrange)
+
+    def set_lagrange(self, lagrange_bases: List):
+        self._lagrange_points = lagrange_bases
+        self._lagrange = MSMBases(lagrange_bases)
+
+    @property
+    def lagrange_n(self):
+        return self._lagrange.n if self._lagrange is not None else 0
+
+    def _coef_msm_bases(self):
+        if self._coef_bases is None:
+            self._coef_bases = MSMBases(self.g1_powers[: self.max_contig])
+        return self._coef_bases
+
+    # ------------------------------------------------------------- committing
+
+    def commit_coefs(self, coefs: List[int]):
+        """Coefficient-basis commit (host scalars)."""
+        assert len(coefs) <= self.max_contig, "degree exceeds contiguous SRS"
+        bases = self._coef_msm_bases()
+        padded = list(coefs) + [0] * (bases.n - len(coefs))
+        return msm(bases, padded)
+
+    def commit_evals_batch(self, evals_dev):
+        """Lagrange-basis commit of a batch: evals_dev (P, n, L) Montgomery
+        limbs on device -> list of host affine points."""
+        assert self._lagrange is not None
+        return msm(self._lagrange, evals_dev if evals_dev.ndim == 3 else evals_dev[None])
+
+    def commit_evals(self, evals_dev):
+        return self.commit_evals_batch(evals_dev[None] if evals_dev.ndim == 2 else evals_dev)[0]
+
+    def apply_blind_factors(self, cm, blinds: List[int], zeroing_degree: int):
+        """cm + sum_i b_i * (G_i - G_{zeroing+i}) (kzg:299-313)."""
+        out = cm
+        for i, b in enumerate(blinds):
+            if b % R_MOD == 0:
+                continue
+            out = g1_add(out, g1_mul(self.g1_powers[i], b))
+            out = g1_add(out, g1_mul(self.g1_powers[zeroing_degree + i], (-b) % R_MOD))
+        return out
+
+    # ---------------------------------------------------------------- opening
+
+    @staticmethod
+    def _transcript_append_params(transcript: Transcript, max_degree: int, point: int):
+        transcript.append_message(b"New PCS-Batch-Eval Protocol")
+        transcript.append_message(Fr.p.to_bytes(32, "big"))
+        transcript.append_u64(max_degree)
+        transcript.append_field_elem(point)
+
+    def batch_prove(self, transcript: Transcript, polys_coefs: List[List[int]], point: int,
+                    max_degree: int, use_lagrange: bool = True):
+        """Open several polynomials (host coefficient lists) at one point.
+        Returns the opening-proof commitment (pcs.rs:107-168)."""
+        self._transcript_append_params(transcript, max_degree, point)
+        alpha = transcript.get_challenge(R_MOD)
+
+        # h = sum alpha^i (p_i - p_i(point)); division by (X - point)
+        maxlen = max(len(c) for c in polys_coefs)
+        h = [0] * maxlen
+        mult = 1
+        for coefs in polys_coefs:
+            ev = 0
+            for c in reversed(coefs):
+                ev = (ev * point + c) % R_MOD
+            for j, c in enumerate(coefs):
+                h[j] = (h[j] + mult * (c - (ev if j == 0 else 0))) % R_MOD
+            mult = mult * alpha % R_MOD
+        # synthetic division h / (X - point): q_i = h_{i+1} + point*q_{i+1}
+        q = [0] * (maxlen - 1)
+        acc = 0
+        for i in range(maxlen - 1, 0, -1):
+            acc = (h[i] + point * acc) % R_MOD
+            q[i - 1] = acc
+        rem = (h[0] + point * acc) % R_MOD
+        assert rem == 0, "batch_prove: nonzero remainder"
+
+        while q and q[-1] == 0:
+            q.pop()
+        if not q:
+            q = [0]
+
+        degree = len(q) - 1
+        max_pow2 = degree
+        for i in range(degree, -1, -1):
+            if i & (i - 1) == 0:
+                max_pow2 = i
+                break
+        if use_lagrange and self._lagrange is not None and max_pow2 == self._lagrange.n:
+            # commit q_lo + X^0..-aligned q_hi via Lagrange basis, then shift
+            # the q_hi part up to the powers {max_pow2 + i} with blind factors
+            # (reference pcs.rs:138-164)
+            blinds = [(-c) % R_MOD for c in q[max_pow2:]]
+            new_coefs = list(q[:max_pow2])
+            for i, v in enumerate(blinds):
+                new_coefs[i] = (new_coefs[i] - v) % R_MOD
+            dom = get_domain(max_pow2)
+            evals = dom.fft(fr_ctx.to_mont_limbs(new_coefs))
+            cm = self.commit_evals(evals)
+            return self.apply_blind_factors(cm, blinds, max_pow2)
+        return self.commit_coefs(q)
+
+    @staticmethod
+    def batch_combine(transcript: Transcript, commitments: List, max_degree: int, point: int,
+                      evals: List[int]):
+        """Verifier-side alpha-combination (pcs.rs:171-191)."""
+        KZG._transcript_append_params(transcript, max_degree, point)
+        alpha = transcript.get_challenge(R_MOD)
+        mult = 1
+        cm_comb = None
+        ev_comb = 0
+        for ev, cm in zip(evals, commitments):
+            cm_comb = g1_add(cm_comb, g1_mul(cm, mult))
+            ev_comb = (ev_comb + ev * mult) % R_MOD
+            mult = mult * alpha % R_MOD
+        return cm_comb, ev_comb
+
+    def batch_verify_diff_points(self, cm_vec, point_vec, eval_vec, proofs, challenge: int) -> bool:
+        """u-combined two-point check with one multi-pairing (kzg:373-423)."""
+        g1_0 = self.g1_powers[0]
+        g2_0, g2_1 = self.g2_powers[0], self.g2_powers[1]
+        left_first = proofs[0]
+        right_first = g1_mul(proofs[0], point_vec[0])
+        right_val = eval_vec[0]
+        right_comm = cm_vec[0]
+        cur = challenge
+        for i in range(1, len(proofs)):
+            new_comm = g1_mul(proofs[i], cur)
+            left_first = g1_add(left_first, new_comm)
+            right_first = g1_add(right_first, g1_mul(new_comm, point_vec[i]))
+            right_val = (right_val + eval_vec[i] * cur) % R_MOD
+            right_comm = g1_add(right_comm, g1_mul(cm_vec[i], cur))
+            cur = cur * challenge % R_MOD
+        right_first = g1_add(right_first, g1_neg(g1_mul(g1_0, right_val)))
+        right_first = g1_add(right_first, right_comm)
+        return multi_pairing_is_one([(left_first, g2_1), (g1_neg(right_first), g2_0)])
+
+    def verify(self, cm, point: int, value: int, proof) -> bool:
+        """Single-point check e(cm - v*G, G2) == e(proof, (s - z)*G2)."""
+        from ..curve.bn254 import g2_add, g2_neg
+
+        g2_0, g2_1 = self.g2_powers[0], self.g2_powers[1]
+        lhs = g1_add(cm, g1_neg(g1_mul(self.g1_powers[0], value)))
+        x_minus = g2_add(g2_1, g2_neg(g2_mul(g2_0, point)))
+        return multi_pairing_is_one([(lhs, g2_0), (g1_neg(proof), x_minus)])

@@ -1,0 +1,70 @@
+"""Parameter pipeline: SRS loading and embedded verifier keys.
+
+Mirrors uzkge/src/gen_params/mod.rs + shuffle/src/gen_params — the embedded
+binaries in uzkge_tpu/parameters/ are the reference's published artifacts
+(see parameters/README.md).
+"""
+
+import os
+from functools import lru_cache
+
+from .constants.bn254 import R_MOD
+from .pcs.kzg import KZG
+from .plonk.indexer import VerifierParams
+from .utils import serialize as ser
+
+PARAMS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "parameters")
+
+
+def _read(name: str) -> bytes:
+    with open(os.path.join(PARAMS_DIR, name), "rb") as f:
+        return f.read()
+
+
+@lru_cache(maxsize=4)
+def load_srs(size: int) -> KZG:
+    """Padded SRS + Lagrange bases for circuit size n (gen_params/mod.rs:144-183)."""
+    g1, g2 = ser.load_srs_params(size, _read("srs-padding.bin"))
+    kzg = KZG(g1, g2)
+    lag_name = f"lagrange-srs-{size}.bin"
+    if os.path.exists(os.path.join(PARAMS_DIR, lag_name)):
+        lg1, _ = ser.load_srs_unchecked(_read(lag_name))
+        kzg.set_lagrange(lg1)
+    return kzg
+
+
+def _vk_from_parsed(parsed: dict, with_shuffle: bool) -> VerifierParams:
+    vk = parsed["vk"]
+    return VerifierParams(
+        cm_q_vec=vk["cm_q_vec"],
+        cm_s_vec=vk["cm_s_vec"],
+        cm_qb=vk["cm_qb"],
+        cm_prk_vec=vk["cm_prk_vec"],
+        anemoi_generator=vk["anemoi_generator"],
+        anemoi_generator_inv=vk["anemoi_generator_inv"],
+        k=vk["k"],
+        cs_size=vk["cs_size"],
+        public_vars_constraint_indices=vk["public_vars_constraint_indices"],
+        lagrange_constants=vk["lagrange_constants"],
+        with_shuffle=with_shuffle,
+        cm_q_ecc=vk.get("cm_q_ecc"),
+        cm_shuffle_generator_vec=vk.get("cm_shuffle_generator_vec", []),
+        cm_shuffle_public_key_vec=vk.get("cm_shuffle_public_key_vec", []),
+        edwards_a=vk.get("edwards_a", 0),
+    )
+
+
+@lru_cache(maxsize=4)
+def load_shuffle_verifier_params(n_cards: int) -> VerifierParams:
+    """Embedded shuffle vk for n_cards in {48, 52, 54}
+    (shuffle/src/gen_params/mod.rs:6-31)."""
+    parsed = ser.parse_verifier_params_specific(_read(f"vk-specific-{n_cards}.bin"))
+    return _vk_from_parsed(parsed, with_shuffle=True)
+
+
+@lru_cache(maxsize=1)
+def load_matchmaking_verifier_params() -> VerifierParams:
+    parsed = ser.parse_verifier_params_specific(
+        _read("vk-specific-matchmaking.bin"), with_shuffle=False
+    )
+    return _vk_from_parsed(parsed, with_shuffle=False)

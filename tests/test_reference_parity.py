@@ -133,6 +133,10 @@ def test_rust_proof_accepted_by_our_verifier():
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+@pytest.mark.skipif(
+    not os.environ.get("UZKGE_HEAVY_TESTS") and not os.environ.get("UZKGE_TPU_TESTS_ON_TPU"),
+    reason="real-circuit-size MSM/FFT; run on TPU or with UZKGE_HEAVY_TESTS=1",
+)
 @pytest.mark.slow
 def test_vk20_regenerated_byte_exactly():
     """Regenerate the full 20-card verifying key and compare every

@@ -64,9 +64,14 @@ def sample_random_scalar_bits(rng: _random.Random) -> List[Tuple[bool, bool, boo
     ]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16)
 def create_windows(base) -> List[List[Tuple[int, int]]]:
     """[{1,2,3,4} * 16^i * base for i in 0..83] (reference remark.rs:39-84,
-    both `crate_generators` and `crate_public_keys`)."""
+    both `crate_generators` and `crate_public_keys`).  Cached per base point
+    (the 84x4 window walk costs ~1.3k curve adds)."""
     windows = []
     g = base
     for _ in range(NUM_ITERATIONS):

@@ -285,12 +285,16 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     def rand_fr():
         return rng.randrange(P)
 
-    def commit_evals_with_blinds(evals_dev_batch, blinds_per_poly):
-        cms = kzg.commit_evals_batch(evals_dev_batch)
-        out = []
-        for cm, blinds in zip(cms, blinds_per_poly):
-            out.append(kzg.apply_blind_factors(cm, blinds, n))
-        return out
+    def commit_evals_with_blinds(evals_dev_batch, blinds_per_poly, blinded_polys=None):
+        if kzg.lagrange_n == n:
+            cms = kzg.commit_evals_batch(evals_dev_batch)
+            return [
+                kzg.apply_blind_factors(cm, blinds, n)
+                for cm, blinds in zip(cms, blinds_per_poly)
+            ]
+        # coefficient fallback (small circuits on the padded SRS prefix)
+        assert blinded_polys is not None
+        return [kzg.commit_coefs(fr_ctx.from_mont_limbs(p)) for p in blinded_polys]
 
     # --- round 1: witness polynomials
     extended = cs.extend_witness(witness)
@@ -298,7 +302,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     w_coefs_dev = dom.ifft_batch(w_evals_dev)
     w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
     w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
-    cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds)
+    cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds, w_polys)
     for cm in cm_w_vec:
         transcript.append_commitment(cm)
 
@@ -312,7 +316,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         wsel_coefs_dev = dom.ifft_batch(wsel_evals_dev)
         wsel_blinds = [[rand_fr(), rand_fr()] for _ in range(3)]
         w_sel_polys = [_hide(wsel_coefs_dev[i], wsel_blinds[i], n) for i in range(3)]
-        cm_w_sel_vec = commit_evals_with_blinds(wsel_evals_dev, wsel_blinds)
+        cm_w_sel_vec = commit_evals_with_blinds(wsel_evals_dev, wsel_blinds, w_sel_polys)
         for cm in cm_w_sel_vec:
             transcript.append_commitment(cm)
 
@@ -327,7 +331,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     z_coefs_dev = dom.ifft(z_evals_dev)
     z_blinds = [rand_fr() for _ in range(3)]
     z_poly = _hide(z_coefs_dev, z_blinds, n)
-    cm_z = commit_evals_with_blinds(z_evals_dev[None], [z_blinds])[0]
+    cm_z = commit_evals_with_blinds(z_evals_dev[None], [z_blinds], [z_poly])[0]
     transcript.append_commitment(cm_z)
 
     # --- round 3: alpha, t polynomial

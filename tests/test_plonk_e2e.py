@@ -40,7 +40,7 @@ def test_add_gate_proof_no_shuffle():
     v2 = cs.new_variable(2)
     v3 = cs.new_variable(3)
     cs.insert_add_gate(v1, v2, v3)
-    cs.pad()
+    cs.pad(min_size=64)
     witness = cs.get_and_clear_witness()
     assert _prove_and_verify(cs, witness, with_shuffle=False)
 
@@ -55,7 +55,7 @@ def test_add_gate_proof_shuffle_shape():
     v3 = cs.new_variable(3)
     cs.insert_add_gate(v1, v2, v3)
     cs.prepare_pi_variable(v3)
-    cs.pad()
+    cs.pad(min_size=64)
     witness = cs.get_and_clear_witness()
     assert _prove_and_verify(cs, witness, with_shuffle=True)
 
@@ -72,7 +72,7 @@ def test_anemoi_circuit_proof():
     out = cs.new_variable(trace.output)
     cs.anemoi_variable_length_hash(trace, vs, out)
     cs.prepare_pi_variable(out)
-    cs.pad()
+    cs.pad(min_size=64)
     witness = cs.get_and_clear_witness()
     cs.verify_witness(witness, [trace.output])
     assert _prove_and_verify(cs, witness, with_shuffle=False)
@@ -86,6 +86,6 @@ def test_tampered_public_input_rejected():
     v3 = cs.new_variable(11)
     cs.insert_add_gate(v1, v2, v3)
     cs.prepare_pi_variable(v3)
-    cs.pad()
+    cs.pad(min_size=64)
     witness = cs.get_and_clear_witness()
     assert not _prove_and_verify(cs, witness, with_shuffle=False, tamper=True)

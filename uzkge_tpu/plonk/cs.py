@@ -291,8 +291,11 @@ class TurboCS:
 
     # ------------------------------------------------------------------- pad
 
-    def pad(self):
+    def pad(self, min_size: int = 1):
+        """Pad gate count to the next power of two (turbo/mod.rs:968-977);
+        `min_size` lets tests force a common size to share compiled kernels."""
         n = 1 << (self.size - 1).bit_length() if self.size > 1 else 1
+        n = max(n, min_size)
         diff = n - self.size
         for sel in self.selectors:
             sel.extend([0] * diff)

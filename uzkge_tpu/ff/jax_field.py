@@ -71,6 +71,19 @@ class MontCtx:
         out = jnp.asarray(arr)
         return out[0] if scalar else out
 
+    def from_mont_bytes(self, arr) -> bytes:
+        """Montgomery limb array -> concatenated 32-byte LE standard-form
+        scalars, without materializing python ints (feeds native_host)."""
+        std = self.from_mont(arr)
+        a = np.asarray(jax.device_get(std)).astype("<u2")
+        return a.tobytes()
+
+    def to_mont_limbs_from_bytes(self, blob: bytes) -> jnp.ndarray:
+        """Inverse of from_mont_bytes: packed LE scalars -> Montgomery limbs
+        (conversion to the Montgomery domain happens on device)."""
+        arr = np.frombuffer(blob, dtype="<u2").reshape(-1, L).astype(np.uint32)
+        return self.to_mont(jnp.asarray(arr))
+
     def from_mont_limbs(self, arr):
         """Montgomery limb array -> python ints (flattened leading shape for
         ndim > 1, scalar for ndim == 1)."""

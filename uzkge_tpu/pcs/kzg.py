@@ -113,57 +113,51 @@ class KZG:
         transcript.append_u64(max_degree)
         transcript.append_field_elem(point)
 
-    def batch_prove(self, transcript: Transcript, polys_coefs: List[List[int]], point: int,
+    def batch_prove(self, transcript: Transcript, poly_blobs, point: int,
                     max_degree: int, use_lagrange: bool = True):
-        """Open several polynomials (host coefficient lists) at one point.
-        Returns the opening-proof commitment (pcs.rs:107-168)."""
+        """Open several polynomials at one point (pcs.rs:107-168).
+        `poly_blobs`: list of packed 32-byte-LE coefficient blobs (native
+        host-math format)."""
+        from .. import native_host as nh
+
         self._transcript_append_params(transcript, max_degree, point)
         alpha = transcript.get_challenge(R_MOD)
 
-        # h = sum alpha^i (p_i - p_i(point)); division by (X - point)
-        maxlen = max(len(c) for c in polys_coefs)
-        h = [0] * maxlen
-        mult = 1
-        for coefs in polys_coefs:
-            ev = 0
-            for c in reversed(coefs):
-                ev = (ev * point + c) % R_MOD
-            for j, c in enumerate(coefs):
-                h[j] = (h[j] + mult * (c - (ev if j == 0 else 0))) % R_MOD
-            mult = mult * alpha % R_MOD
-        # synthetic division h / (X - point): q_i = h_{i+1} + point*q_{i+1}
-        q = [0] * (maxlen - 1)
-        acc = 0
-        for i in range(maxlen - 1, 0, -1):
-            acc = (h[i] + point * acc) % R_MOD
-            q[i - 1] = acc
-        rem = (h[0] + point * acc) % R_MOD
+        maxlen = max(len(b) // 32 for b in poly_blobs)
+        h_blob, _evals = nh.alpha_combine_bytes(poly_blobs, alpha, point, maxlen)
+        q_blob, rem = nh.synthetic_div_bytes(h_blob, point)
         assert rem == 0, "batch_prove: nonzero remainder"
+        # trim trailing zero coefficients
+        nq = len(q_blob) // 32
+        while nq > 1 and q_blob[(nq - 1) * 32 : nq * 32] == b"\x00" * 32:
+            nq -= 1
+        q_blob = q_blob[: nq * 32]
 
-        while q and q[-1] == 0:
-            q.pop()
-        if not q:
-            q = [0]
-
-        degree = len(q) - 1
+        degree = nq - 1
         max_pow2 = degree
         for i in range(degree, -1, -1):
             if i & (i - 1) == 0:
                 max_pow2 = i
                 break
         if use_lagrange and self._lagrange is not None and max_pow2 == self._lagrange.n:
-            # commit q_lo + X^0..-aligned q_hi via Lagrange basis, then shift
-            # the q_hi part up to the powers {max_pow2 + i} with blind factors
-            # (reference pcs.rs:138-164)
-            blinds = [(-c) % R_MOD for c in q[max_pow2:]]
-            new_coefs = list(q[:max_pow2])
+            # commit the low part via Lagrange basis, shift the high
+            # coefficients up with blind factors (reference pcs.rs:138-164)
+            blinds = [
+                (-int.from_bytes(q_blob[i * 32 : (i + 1) * 32], "little")) % R_MOD
+                for i in range(max_pow2, nq)
+            ]
+            head = bytearray(q_blob[: max_pow2 * 32])
             for i, v in enumerate(blinds):
-                new_coefs[i] = (new_coefs[i] - v) % R_MOD
+                c = (int.from_bytes(head[i * 32 : (i + 1) * 32], "little") - v) % R_MOD
+                head[i * 32 : (i + 1) * 32] = c.to_bytes(32, "little")
             dom = get_domain(max_pow2)
-            evals = dom.fft(fr_ctx.to_mont_limbs(new_coefs))
+            evals = dom.fft(fr_ctx.to_mont_limbs_from_bytes(bytes(head)))
             cm = self.commit_evals(evals)
             return self.apply_blind_factors(cm, blinds, max_pow2)
-        return self.commit_coefs(q)
+        import numpy as np
+
+        coefs = [int.from_bytes(q_blob[i * 32 : (i + 1) * 32], "little") for i in range(nq)]
+        return self.commit_coefs(coefs)
 
     @staticmethod
     def batch_combine(transcript: Transcript, commitments: List, max_degree: int, point: int,

@@ -77,6 +77,7 @@ class ProverParams:
     # host-side caches used by the prover
     group: List[int] = dc_field(default_factory=list)
     s_evals_host: List[List[int]] = dc_field(default_factory=list)  # sigma evals per wire
+    group_blob: bytes = b""  # packed LE scalars, lazily built for native z-poly
 
 
 def lagrange_constant(group_root: int, n: int, constraint_index: int) -> int:

@@ -299,6 +299,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     # --- round 1: witness polynomials
     extended = cs.extend_witness(witness)
     w_evals_dev = fr_ctx.to_mont_limbs(extended).reshape(N_WIRES_PER_GATE, n, L)
+    # (the packed byte form is rebuilt for the native z-poly in round 2)
     w_coefs_dev = dom.ifft_batch(w_evals_dev)
     w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
     w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
@@ -326,8 +327,15 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     gamma = transcript.get_challenge(P)
     challenges["beta"], challenges["gamma"] = beta, gamma
 
-    z_evals = z_poly_evals(pp, extended, beta, gamma)
-    z_evals_dev = fr_ctx.to_mont_limbs(z_evals)
+    from .. import native_host as nh
+
+    witness_blob = b"".join(int(v).to_bytes(32, "little") for v in extended)
+    if not pp.group_blob:
+        pp.group_blob = b"".join(int(v).to_bytes(32, "little") for v in pp.group)
+    z_blob = nh.z_poly_bytes(
+        witness_blob, pp.permutation, pp.group_blob, vk.k, beta, gamma, n
+    )
+    z_evals_dev = fr_ctx.to_mont_limbs_from_bytes(z_blob)
     z_coefs_dev = dom.ifft(z_evals_dev)
     z_blinds = [rand_fr() for _ in range(3)]
     z_poly = _hide(z_coefs_dev, z_blinds, n)
@@ -357,78 +365,86 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
 
     t_evals = t_coset_evals(pp, w_coset, wsel_coset, z_coset, pi_coset, challenges, with_shuffle)
     t_coefs_dev = dom_m.coset_ifft(t_evals, k1)
-    t_coefs = fr_ctx.from_mont_limbs(t_coefs_dev)
+    t_blob = fr_ctx.from_mont_bytes(t_coefs_dev)
     # trim trailing zeros
-    deg = len(t_coefs) - 1
-    while deg > 0 and t_coefs[deg] == 0:
-        deg -= 1
-    t_coefs = t_coefs[: deg + 1]
+    nt_len = len(t_blob) // 32
+    while nt_len > 0 and t_blob[(nt_len - 1) * 32 : nt_len * 32] == b"\x00" * 32:
+        nt_len -= 1
+    t_blob = t_blob[: nt_len * 32]
+
+    def blob_coef(blob, i):
+        return int.from_bytes(blob[i * 32 : (i + 1) * 32], "little")
+
+    def set_blob_coef(blob, i, v):
+        blob[i * 32 : (i + 1) * 32] = int(v).to_bytes(32, "little")
 
     # split into 5 chunks of (n+2) coefficients and commit (helpers.rs:1323-1408)
     nt = n + 2
     cm_t_vec = []
-    t_chunks = []
+    t_chunk_blobs = []
     prev_blind = 0
     for i in range(N_WIRES_PER_GATE):
-        start = i * nt
-        end = len(t_coefs) if i == N_WIRES_PER_GATE - 1 else (i + 1) * nt
-        chunk = list(t_coefs[start:end]) if start < len(t_coefs) else []
+        start_c = i * nt
+        end_c = nt_len if i == N_WIRES_PER_GATE - 1 else (i + 1) * nt
+        chunk = bytearray(t_blob[start_c * 32 : max(start_c, end_c) * 32])
         b = rand_fr()
         if i != N_WIRES_PER_GATE - 1:
-            chunk += [0] * (nt + 1 - len(chunk))
-            chunk[nt] = (chunk[nt] + b) % P
-            chunk[0] = (chunk[0] - prev_blind) % P
+            chunk += b"\x00" * ((nt + 1) * 32 - len(chunk))
+            set_blob_coef(chunk, nt, (blob_coef(chunk, nt) + b) % P)
+            set_blob_coef(chunk, 0, (blob_coef(chunk, 0) - prev_blind) % P)
         else:
             if not chunk:
-                chunk = [(-prev_blind) % P]
+                chunk = bytearray(((-prev_blind) % P).to_bytes(32, "little"))
             else:
-                chunk[0] = (chunk[0] - prev_blind) % P
+                set_blob_coef(chunk, 0, (blob_coef(chunk, 0) - prev_blind) % P)
         prev_blind = b
-        # lagrange-commit with blind shift (same scheme as batch_prove)
-        while len(chunk) > 1 and chunk[-1] == 0:
-            chunk.pop()
-        degree = len(chunk) - 1
+        # trim + commit (lagrange path with blind shift, like batch_prove)
+        cl = len(chunk) // 32
+        while cl > 1 and chunk[(cl - 1) * 32 : cl * 32] == b"\x00" * 32:
+            cl -= 1
+        chunk = bytes(chunk[: cl * 32])
+        degree = cl - 1
         max_pow2 = degree
         for j in range(degree, -1, -1):
             if j & (j - 1) == 0:
                 max_pow2 = j
                 break
         if kzg.lagrange_n == max_pow2:
-            blinds = [(-c) % P for c in chunk[max_pow2:]]
-            new_coefs = list(chunk[:max_pow2])
+            blinds = [(-blob_coef(chunk, j)) % P for j in range(max_pow2, cl)]
+            head = bytearray(chunk[: max_pow2 * 32])
             for j, v in enumerate(blinds):
-                new_coefs[j] = (new_coefs[j] - v) % P
-            evals = get_domain(max_pow2).fft(fr_ctx.to_mont_limbs(new_coefs))
+                set_blob_coef(head, j, (blob_coef(head, j) - v) % P)
+            evals = get_domain(max_pow2).fft(fr_ctx.to_mont_limbs_from_bytes(bytes(head)))
             cm = kzg.apply_blind_factors(kzg.commit_evals(evals), blinds, max_pow2)
         else:
-            cm = kzg.commit_coefs(chunk)
+            cm = kzg.commit_coefs([blob_coef(chunk, j) for j in range(cl)])
         cm_t_vec.append(cm)
-        t_chunks.append(chunk)
+        t_chunk_blobs.append(chunk)
     for cm in cm_t_vec:
         transcript.append_commitment(cm)
 
-    # --- round 4: zeta, evaluations
+    # --- round 4: zeta, evaluations (native Horner over byte blobs)
     zeta = transcript.get_challenge(P)
     challenges["zeta"] = zeta
     zeta_omega = zeta * root % P
 
-    w_polys_host = [fr_ctx.from_mont_limbs(p) for p in w_polys]
-    z_poly_host = fr_ctx.from_mont_limbs(z_poly)
-    s_coefs_host = [fr_ctx.from_mont_limbs(pp.s_coefs[i]) for i in range(5)]
-    prk_coefs_host = [fr_ctx.from_mont_limbs(pp.q_prk_coefs[i]) for i in range(4)]
+    w_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_polys]
+    z_poly_blob = fr_ctx.from_mont_bytes(z_poly)
+    s_coef_blobs = [fr_ctx.from_mont_bytes(pp.s_coefs[i]) for i in range(5)]
+    prk_coef_blobs = [fr_ctx.from_mont_bytes(pp.q_prk_coefs[i]) for i in range(4)]
 
-    w_polys_eval_zeta = [_horner_eval(c, zeta) for c in w_polys_host]
-    s_polys_eval_zeta = [_horner_eval(s_coefs_host[i], zeta) for i in range(4)]
-    prk_3_poly_eval_zeta = _horner_eval(prk_coefs_host[2], zeta)
-    prk_4_poly_eval_zeta = _horner_eval(prk_coefs_host[3], zeta)
-    z_eval_zeta_omega = _horner_eval(z_poly_host, zeta_omega)
-    w_polys_eval_zeta_omega = [_horner_eval(w_polys_host[i], zeta_omega) for i in range(3)]
+    w_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_poly_blobs]
+    s_polys_eval_zeta = [nh.horner_eval_bytes(s_coef_blobs[i], zeta) for i in range(4)]
+    prk_3_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[2], zeta)
+    prk_4_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[3], zeta)
+    z_eval_zeta_omega = nh.horner_eval_bytes(z_poly_blob, zeta_omega)
+    w_polys_eval_zeta_omega = [nh.horner_eval_bytes(w_poly_blobs[i], zeta_omega) for i in range(3)]
 
     if with_shuffle:
-        q_ecc_host = fr_ctx.from_mont_limbs(pp.q_ecc_coefs)
-        q_ecc_poly_eval_zeta = _horner_eval(q_ecc_host, zeta)
-        w_sel_polys_host = [fr_ctx.from_mont_limbs(p) for p in w_sel_polys]
-        w_sel_polys_eval_zeta = [_horner_eval(c, zeta) for c in w_sel_polys_host]
+        q_ecc_blob = fr_ctx.from_mont_bytes(pp.q_ecc_coefs)
+        q_ecc_poly_eval_zeta = nh.horner_eval_bytes(q_ecc_blob, zeta)
+        w_sel_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_sel_polys]
+        w_sel_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_sel_poly_blobs]
 
     for ev in w_polys_eval_zeta + s_polys_eval_zeta:
         transcript.append_field_elem(ev)
@@ -455,39 +471,31 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         q_ecc_eval_zeta=q_ecc_poly_eval_zeta if with_shuffle else None,
         w_evals_zeta_omega=w_polys_eval_zeta_omega if with_shuffle else None,
     )
-    # contributor coefficient rows, same canonical order as r_scalars
-    qb_host = fr_ctx.from_mont_limbs(pp.qb_coefs)
-    rows = [fr_ctx.from_mont_limbs(pp.q_coefs[i]) for i in range(9)]
-    rows.append(qb_host)
-    rows.append(prk_coefs_host[0])
-    rows.append(prk_coefs_host[1])
+    # contributor coefficient rows in the canonical r_scalars order
+    rows = [fr_ctx.from_mont_bytes(pp.q_coefs[i]) for i in range(9)]
+    rows.append(fr_ctx.from_mont_bytes(pp.qb_coefs))
+    rows.append(prk_coef_blobs[0])
+    rows.append(prk_coef_blobs[1])
     if with_shuffle:
-        pk_host = [fr_ctx.from_mont_limbs(pp.q_pk_coefs[i]) for i in range(12)]
-        gen_host = [fr_ctx.from_mont_limbs(pp.q_gen_coefs[i]) for i in range(12)]
-        rows += pk_host + gen_host
-    rows.append(fr_ctx.from_mont_limbs(pp.s_coefs[4]))
-    rows.append(z_poly_host)
-    rows += t_chunks
-    maxlen = max(len(r) for r in rows)
-    r_poly = [0] * maxlen
-    for sc, row in zip(scalars, rows):
-        if sc == 0:
-            continue
-        for j, cf in enumerate(row):
-            if cf:
-                r_poly[j] = (r_poly[j] + sc * cf) % P
+        rows += [fr_ctx.from_mont_bytes(pp.q_pk_coefs[i]) for i in range(12)]
+        rows += [fr_ctx.from_mont_bytes(pp.q_gen_coefs[i]) for i in range(12)]
+    rows.append(s_coef_blobs[4])
+    rows.append(z_poly_blob)
+    rows += t_chunk_blobs
+    maxlen = max(len(r) // 32 for r in rows)
+    r_poly_blob = nh.lincomb_bytes(rows, scalars, maxlen)
 
-    polys_to_open = list(w_polys_host) + s_coefs_host[:4]
-    polys_to_open.append(prk_coefs_host[2])
-    polys_to_open.append(prk_coefs_host[3])
+    polys_to_open = list(w_poly_blobs) + s_coef_blobs[:4]
+    polys_to_open.append(prk_coef_blobs[2])
+    polys_to_open.append(prk_coef_blobs[3])
     if with_shuffle:
-        polys_to_open.append(q_ecc_host)
-        polys_to_open += w_sel_polys_host
-    polys_to_open.append(r_poly)
+        polys_to_open.append(q_ecc_blob)
+        polys_to_open += w_sel_poly_blobs
+    polys_to_open.append(r_poly_blob)
 
     opening_witness_zeta = kzg.batch_prove(transcript, polys_to_open, zeta, n + 2)
     opening_witness_zeta_omega = kzg.batch_prove(
-        transcript, [z_poly_host, w_polys_host[0], w_polys_host[1], w_polys_host[2]],
+        transcript, [z_poly_blob, w_poly_blobs[0], w_poly_blobs[1], w_poly_blobs[2]],
         zeta_omega, n + 2,
     )
 

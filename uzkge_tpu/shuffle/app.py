@@ -76,6 +76,22 @@ def verify_reveal(pk, masked: Ciphertext, reveal_card, proof) -> bool:
     return cp_verify(masked.e1, bjj.GENERATOR, transcript, reveal_card, pk, proof)
 
 
+def reveal0(rng, keypair: Keypair, masked: Ciphertext):
+    """zk-friendly (Anemoi-challenge) reveal (reveal.rs:44-60)."""
+    from ..crypto.chaum_pedersen import cp_prove0
+
+    share = bjj.mul(masked.e1, keypair.secret)
+    proof = cp_prove0(rng, masked.e1, bjj.GENERATOR, keypair.secret, share, keypair.public)
+    return share, proof
+
+
+def verify_reveal0(pk, masked: Ciphertext, reveal_card, proof) -> bool:
+    """(reveal.rs:78-90)"""
+    from ..crypto.chaum_pedersen import cp_verify0
+
+    return cp_verify0(masked.e1, bjj.GENERATOR, reveal_card, pk, proof)
+
+
 def unmask(masked: Ciphertext, reveal_cards: List):
     """e2 - sum(shares) (reveal.rs:93-97)."""
     agg = bjj.IDENTITY

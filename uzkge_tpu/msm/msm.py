@@ -116,10 +116,16 @@ def _padd(ctx, X1, Y1, Z1, X2, Y2, Z2):
 class MSMBases:
     """Fixed affine G1 bases resident on device (Fq Montgomery limbs)."""
 
-    def __init__(self, points, chunks: int = 32):
+    def __init__(self, points, chunks: int = None):
         assert all(p is not None for p in points), "identity base not supported"
         self.n = len(points)
-        self.chunks = min(chunks, self.n)
+        if chunks is None:
+            # each chunk should hold >= 64 points: the bucket state is
+            # chunks * 256 buckets per window, and folding it costs
+            # chunks * 256 additions — oversplitting small inputs explodes
+            # both memory and fold work
+            chunks = max(1, self.n // 64)
+        self.chunks = max(1, min(chunks, 32, self.n))
         while self.n % self.chunks:
             self.chunks -= 1
         xs = fq_ctx.to_mont_limbs([p[0] for p in points])
@@ -272,6 +278,13 @@ def msm(bases: MSMBases, scalars, batch_input: bool = False):
         flat = [s for row in rows for s in row]
         arr = fr_ctx.to_mont_limbs(flat).reshape(len(rows), bases.n, L)
         sc = arr
-    wsums = _msm_device(bases.x, bases.y, sc, bases.chunks)
+    # bucket the batch axis (bounds compile variants, limits padding waste)
+    Pb = sc.shape[0]
+    Pb_padded = next(b for b in (1, 2, 4, 8, 12, 16, 20, 24, 32) if b >= Pb)
+    if Pb_padded > Pb:
+        sc = jnp.concatenate(
+            [sc, jnp.zeros((Pb_padded - Pb, sc.shape[1], L), jnp.uint32)], axis=0
+        )
+    wsums = _msm_device(bases.x, bases.y, sc, bases.chunks)[:Pb]
     pts = _window_sums_to_points(np.asarray(jax.device_get(wsums)))
     return pts[0] if single else pts

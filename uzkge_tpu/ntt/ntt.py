@@ -124,24 +124,35 @@ class NTTDomain:
         """evaluations (n, L) -> coefficients (n, L)."""
         return self._ifft_jit(evals)
 
+    @staticmethod
+    def _bucket_batch(b: int) -> int:
+        """Round batch sizes up to power-of-two buckets so each domain
+        compiles at most ~6 batched-NTT variants (XLA recompiles per shape)."""
+        return 1 << max(b - 1, 0).bit_length()
+
+    def _pad_batch(self, x):
+        b = x.shape[0]
+        bb = self._bucket_batch(b)
+        pads = []
+        if x.shape[1] < self.n:
+            pads.append(((0, 0), (0, self.n - x.shape[1]), (0, 0)))
+        if bb > b or pads:
+            x = jnp.pad(x, ((0, bb - b), (0, self.n - x.shape[1]), (0, 0)))
+        return x, b
+
     def fft_batch(self, coeffs):
         """(B, m<=n, L) -> (B, n, L)."""
-        m = coeffs.shape[1]
-        if m < self.n:
-            pad = jnp.zeros((coeffs.shape[0], self.n - m, L), dtype=jnp.uint32)
-            coeffs = jnp.concatenate([coeffs, pad], axis=1)
-        return self._fft_batch_jit(coeffs)
+        x, b = self._pad_batch(coeffs)
+        return self._fft_batch_jit(x)[:b]
 
     def ifft_batch(self, evals):
-        return self._ifft_batch_jit(evals)
+        x, b = self._pad_batch(evals)
+        return self._ifft_batch_jit(x)[:b]
 
     def coset_fft_batch(self, coeffs, k: int):
-        m = coeffs.shape[1]
-        if m < self.n:
-            pad = jnp.zeros((coeffs.shape[0], self.n - m, L), dtype=jnp.uint32)
-            coeffs = jnp.concatenate([coeffs, pad], axis=1)
+        x, b = self._pad_batch(coeffs)
         powers = self.power_ladder(k)
-        return self._fft_batch_jit(self.ctx.mul(coeffs, powers[None]))
+        return self._fft_batch_jit(self.ctx.mul(x, powers[None]))[:b]
 
     def coset_scale(self, coeffs, k: int):
         """p(X) -> p(kX): scale coefficient j by k^j."""

@@ -83,8 +83,9 @@ def sharded_msm(mesh: Mesh, bases: msm_mod.MSMBases, scalars: List[List[int]]):
     flat = [s for row in rows for s in row]
     sc = fr_ctx.to_mont_limbs(flat).reshape(len(rows), bases.n, L)
     ndev = mesh.devices.size
-    chunks_per_dev = max(1, min(bases.chunks // ndev, bases.n // ndev))
-    while (bases.n // ndev) % chunks_per_dev:
+    local_n = bases.n // ndev
+    chunks_per_dev = max(1, min(local_n // 64, 32))
+    while local_n % chunks_per_dev:
         chunks_per_dev -= 1
     wsums = sharded_msm_window_sums(mesh, bases.x, bases.y, sc, chunks_per_dev)
     pts = msm_mod._window_sums_to_points(np.asarray(jax.device_get(wsums)))
@@ -176,7 +177,7 @@ def dryrun_multichip(n_devices: int):
     # ---- sharded MSM over a batch of scalar vectors (dp x pts)
     n_pts = 8 * n_devices
     pts = [g1_mul(G1_GEN, rng.randrange(1, R_MOD)) for _ in range(n_pts)]
-    bases = msm_mod.MSMBases(pts, chunks=n_pts)
+    bases = msm_mod.MSMBases(pts)
     rows = [[rng.randrange(R_MOD) for _ in range(n_pts)] for _ in range(2)]
     got = sharded_msm(mesh, bases, rows)
     for row, g in zip(rows, got):

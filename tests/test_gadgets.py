@@ -108,3 +108,23 @@ def test_shuffle_card_gadget():
         assert [w[v] for v in ov.as_list()] == cards[j].flatten()
     print('shuffle_card gadget OK, size', cs.size)
 
+
+
+def test_matchmaking_circuit_verify_witness():
+    """Fisher-Yates matchmaking gadget at small N via verify_witness
+    (reference matchmaking.rs:21-230 semantics)."""
+    import random
+    from uzkge_tpu.matchmaking.app import build_cs
+    from uzkge_tpu.constants.bn254 import R_MOD
+    from uzkge_tpu.hash.anemoi import eval_variable_length_hash
+
+    rng = random.Random(9)
+    inputs = [11, 22, 33, 44, 55]
+    seed = rng.randrange(R_MOD)
+    rn = rng.randrange(R_MOD)
+    cs, out_vars = build_cs(inputs, seed, rn, n=5)
+    w = cs.get_and_clear_witness()
+    outputs = [w[v] for v in out_vars]
+    assert sorted(outputs) == sorted(inputs)
+    online = inputs + outputs + [rn, eval_variable_length_hash([seed])]
+    cs.verify_witness(w, online)

@@ -74,7 +74,9 @@ class MontCtx:
     def from_mont_bytes(self, arr) -> bytes:
         """Montgomery limb array -> concatenated 32-byte LE standard-form
         scalars, without materializing python ints (feeds native_host)."""
-        std = self.from_mont(arr)
+        if not hasattr(self, "_from_mont_jit"):
+            self._from_mont_jit = jax.jit(self.from_mont)
+        std = self._from_mont_jit(arr)
         a = np.asarray(jax.device_get(std)).astype("<u2")
         return a.tobytes()
 

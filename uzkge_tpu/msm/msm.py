@@ -194,17 +194,28 @@ def _msm_device(px, py, scalars_mont, chunks):
 
     (BX, BY, BZ), _ = jax.lax.scan(body, (BX, BY, BZ), (dig, pxs, pys))
 
-    # weighted bucket reduction FIRST, with the chunk axis riding along as a
-    # vector lane: sum_{b=1..255} b * B_b per (P, W, K) via the running
-    # double-sum; folding the K partial sums afterwards costs only O(K)
-    # additions instead of O(K * 256)
+    # fold the chunk axis first: tree of complete additions over bucket
+    # arrays — total work P*W*B*(K-1), always cheaper than running the
+    # 255-step weighted reduction with K riding along (510*K)
+    k = K
+    while k > 1:
+        h = k // 2
+        BX, BY, BZ = _padd(
+            fq_ctx,
+            BX[:, :, :h], BY[:, :, :h], BZ[:, :, :h],
+            BX[:, :, h : 2 * h], BY[:, :, h : 2 * h], BZ[:, :, h : 2 * h],
+        )
+        k = h
+    BX, BY, BZ = BX[:, :, 0], BY[:, :, 0], BZ[:, :, 0]  # (P, W, NB, L)
+
+    # weighted bucket reduction: sum_{b=1..255} b * B_b via running double-sum
     idx = jnp.arange(N_BUCKETS - 1, 0, -1)
-    xs = (BX[:, :, :, idx].transpose(3, 0, 1, 2, 4),
-          BY[:, :, :, idx].transpose(3, 0, 1, 2, 4),
-          BZ[:, :, :, idx].transpose(3, 0, 1, 2, 4))
-    accX = jnp.zeros((P, W, K, L), jnp.uint32)
-    accY = jnp.broadcast_to(fq_ctx.mont_one_arr, (P, W, K, L))
-    accZ = jnp.zeros((P, W, K, L), jnp.uint32)
+    xs = (BX[:, :, idx].transpose(2, 0, 1, 3),
+          BY[:, :, idx].transpose(2, 0, 1, 3),
+          BZ[:, :, idx].transpose(2, 0, 1, 3))
+    accX = jnp.zeros((P, W, L), jnp.uint32)
+    accY = jnp.broadcast_to(fq_ctx.mont_one_arr, (P, W, L))
+    accZ = jnp.zeros((P, W, L), jnp.uint32)
     totX, totY, totZ = accX, accY, accZ
 
     def red_body(carry, xs):
@@ -217,18 +228,6 @@ def _msm_device(px, py, scalars_mont, chunks):
     (accX, accY, accZ, totX, totY, totZ), _ = jax.lax.scan(
         red_body, (accX, accY, accZ, totX, totY, totZ), xs
     )
-
-    # fold chunk axis: (P, W, K, L) -> (P, W, L)
-    k = K
-    while k > 1:
-        h = k // 2
-        totX, totY, totZ = _padd(
-            fq_ctx,
-            totX[:, :, :h], totY[:, :, :h], totZ[:, :, :h],
-            totX[:, :, h : 2 * h], totY[:, :, h : 2 * h], totZ[:, :, h : 2 * h],
-        )
-        k = h
-    totX, totY, totZ = totX[:, :, 0], totY[:, :, 0], totZ[:, :, 0]
 
     return jnp.stack([totX, totY, totZ], axis=2)  # (P, W, 3, L)
 

@@ -15,9 +15,12 @@ gates, shuffle-remark gates) tracked by index lists.  Byte-exact circuit
 layout is required for the generated verifier keys to match the reference's.
 """
 
+import os
+import traceback
 from typing import List, Optional, Tuple
 
 from ..constants.bn254 import R_MOD as P, EDWARDS_A, EDWARDS_D
+from ..errors import DanglingWitnessError
 from ..constants.anemoi_constants import (
     N_ANEMOI_ROUNDS,
     GENERATOR as ANEMOI_GENERATOR,
@@ -38,7 +41,15 @@ _ALPHA_INV = pow(5, -1, P - 1)
 class TurboCS:
     """Turbo PLONK constraint system (reference turbo/mod.rs:30-97,401-439)."""
 
-    def __init__(self):
+    def __init__(self, debug: bool = None):
+        # dangling-witness detector: mirrors the reference `debug` cargo
+        # feature (turbo/mod.rs:94-96,529-629,979-1001) which records a
+        # backtrace per witness variable and panics at pad() if any variable
+        # was allocated but never wired into a gate.
+        if debug is None:
+            debug = bool(os.environ.get("UZKGE_DEBUG"))
+        self.debug = debug
+        self._witness_origin = {}
         self.selectors: List[List[int]] = [[] for _ in range(N_SELECTORS)]
         self.wiring: List[List[int]] = [[] for _ in range(N_WIRES_PER_GATE)]
         self.edwards_a = 0
@@ -78,6 +89,10 @@ class TurboCS:
     def new_variable(self, value: int) -> int:
         self.num_vars += 1
         self.witness.append(value % P)
+        if self.debug:
+            self._witness_origin[self.num_vars - 1] = "".join(
+                traceback.format_stack(limit=6)[:-1]
+            )
         return self.num_vars - 1
 
     def add_variables(self, values):
@@ -291,9 +306,21 @@ class TurboCS:
 
     # ------------------------------------------------------------------- pad
 
+    def check_dangling_witness(self):
+        """Raise DanglingWitnessError for variables never wired into a gate
+        (the reference panics here under the `debug` feature)."""
+        used = {0, 1}
+        for wire in self.wiring:
+            used.update(wire)
+        dangling = [v for v in range(self.num_vars) if v not in used]
+        if dangling:
+            raise DanglingWitnessError(dangling, self._witness_origin)
+
     def pad(self, min_size: int = 1):
         """Pad gate count to the next power of two (turbo/mod.rs:968-977);
         `min_size` lets tests force a common size to share compiled kernels."""
+        if self.debug:
+            self.check_dangling_witness()
         n = 1 << (self.size - 1).bit_length() if self.size > 1 else 1
         n = max(n, min_size)
         diff = n - self.size

@@ -79,7 +79,11 @@ def ark_g1_uncompressed_write(p) -> bytes:
         out[63] |= _INF_FLAG
         return bytes(out)
     x, y = p
-    return int(x).to_bytes(32, "little") + int(y).to_bytes(32, "little")
+    out = bytearray(int(x).to_bytes(32, "little") + int(y).to_bytes(32, "little"))
+    # ark also stamps the y-sign flag on uncompressed points
+    if not (y <= (Q_MOD - y) % Q_MOD):
+        out[63] |= _NEG_FLAG
+    return bytes(out)
 
 
 def ark_g1_compressed_read(b: bytes):
@@ -125,6 +129,68 @@ def ark_g2_uncompressed_read(b: bytes):
     if infinity:
         return None
     return ((xc0, xc1), (yc0, yc1))
+
+
+def ark_g2_uncompressed_write(p) -> bytes:
+    if p is None:
+        out = bytearray(128)
+        out[127] |= _INF_FLAG
+        return bytes(out)
+    (xc0, xc1), (yc0, yc1) = p
+    out = bytearray(
+        b"".join(int(c).to_bytes(32, "little") for c in (xc0, xc1, yc0, yc1))
+    )
+    if _fq2_is_negative((yc0, yc1)):
+        out[127] |= _NEG_FLAG
+    return bytes(out)
+
+
+def _fq2_is_negative(y) -> bool:
+    """ark QuadExtField ordering: compare c1 first, then c0."""
+    ny = ((Q_MOD - y[0]) % Q_MOD, (Q_MOD - y[1]) % Q_MOD)
+    if y[1] != ny[1]:
+        return y[1] > ny[1]
+    return y[0] > ny[0]
+
+
+def ark_g2_compressed_write(p) -> bytes:
+    """64 bytes: x.c0 LE32 || x.c1 LE32 with flags on byte 63."""
+    if p is None:
+        out = bytearray(64)
+        out[63] |= _INF_FLAG
+        return bytes(out)
+    x, y = p
+    out = bytearray(int(x[0]).to_bytes(32, "little") + int(x[1]).to_bytes(32, "little"))
+    if _fq2_is_negative(y):
+        out[63] |= _NEG_FLAG
+    return bytes(out)
+
+
+def srs_to_unchecked_bytes(g1_points, g2_points) -> bytes:
+    """Inverse of load_srs_unchecked (`KZGCommitmentScheme::to_unchecked_bytes`,
+    kzg_poly_commitment.rs:206-227): u32 len1 | u32 len2 | G1s | G2s."""
+    out = [len(g1_points).to_bytes(4, "little"), len(g2_points).to_bytes(4, "little")]
+    out += [ark_g1_uncompressed_write(p) for p in g1_points]
+    out += [ark_g2_uncompressed_write(p) for p in g2_points]
+    return b"".join(out)
+
+
+def vk_common_to_bytes(g1_points, g2_points) -> bytes:
+    """bincode serialization of the shrunk KZG scheme (`gen-params
+    gen-vk-common`, uzkge/src/gen_params/setup.rs:72-83): two serde byte-blobs
+    each wrapping an ark compressed Vec<point>."""
+    blob1 = len(g1_points).to_bytes(8, "little") + b"".join(
+        ark_g1_compressed_write(p) for p in g1_points
+    )
+    blob2 = len(g2_points).to_bytes(8, "little") + b"".join(
+        ark_g2_compressed_write(p) for p in g2_points
+    )
+    return (
+        len(blob1).to_bytes(8, "little")
+        + blob1
+        + len(blob2).to_bytes(8, "little")
+        + blob2
+    )
 
 
 def ark_fr_read(b: bytes) -> int:

@@ -216,6 +216,7 @@ def setup(cs: R1CS, seed: bytes = b"uzkge-tpu groth16 setup") -> Groth16Pk:
     NOTE: a production deployment replaces this with an MPC ceremony; the key
     format matches ark-groth16's ProvingKey so artifacts interoperate.
     """
+    cs = cs.canonicalized()
     rng = ChaCha20Rng(seed.ljust(32, b"\0")[:32])
 
     def fr_rand():
@@ -334,6 +335,7 @@ def prove(pk: Groth16Pk, cs: R1CS, rng: Optional[ChaCha20Rng] = None) -> Groth16
     """Prove a satisfied R1CS.  cs must carry the full assignment and have the
     same circuit shape the pk was set up for."""
     assert cs.is_satisfied(), "witness does not satisfy the constraint system"
+    cs = cs.canonicalized()
     z = cs.assignment
     assert len(z) == len(pk.a_query), "circuit shape differs from proving key"
     if rng is None:

@@ -106,6 +106,35 @@ class R1CS:
         )
         return out
 
+    # -- canonical variable order -------------------------------------------
+    def canonicalized(self):
+        """Return an equivalent R1CS with variables in the canonical Groth16
+        order [one, instances..., witnesses...] (ark-relations keeps separate
+        instance/witness namespaces, so its matrices are always in this order;
+        our single index space allows interleaved allocation and must be
+        remapped before the QAP instance split)."""
+        ninst = self.num_instance
+        if self.instance_ids == list(range(1, ninst + 1)):
+            return self
+        order = [0] + self.instance_ids + self.witness_ids
+        pos = [0] * len(self.assignment)
+        for new, old in enumerate(order):
+            pos[old] = new
+        out = R1CS()
+        out.num_instance = ninst
+        out.assignment = [self.assignment[old] for old in order]
+        out.instance_ids = list(range(1, ninst + 1))
+        out.witness_ids = list(range(ninst + 1, len(order)))
+        out.constraints = [
+            (
+                LC({pos[v]: c for v, c in A.items()}),
+                LC({pos[v]: c for v, c in B.items()}),
+                LC({pos[v]: c for v, c in C.items()}),
+            )
+            for A, B, C in self.constraints
+        ]
+        return out
+
     # -- checks --------------------------------------------------------------
     def is_satisfied(self):
         for a, b, c in self.constraints:

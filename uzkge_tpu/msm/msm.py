@@ -261,6 +261,45 @@ def _window_sums_to_points(wsums):
     return out
 
 
+import os
+
+# Below this point count a device launch is all compile/dispatch overhead
+# (tiny Groth16 circuits, test fixtures); host Pippenger wins outright.
+HOST_MSM_MAX = int(os.environ.get("UZKGE_MSM_HOST_MAX", "512"))
+
+
+def host_msm(points, scalars, c: int = 8):
+    """Host Pippenger over G1 affine points (python ints). Used for small
+    inputs where a device kernel launch cannot amortize; same window/bucket
+    scheme as the device kernel."""
+    from ..constants.bn254 import R_MOD
+
+    pairs = [(p, s % R_MOD) for p, s in zip(points, scalars) if p is not None and s % R_MOD]
+    if not pairs:
+        return None
+    nwin = (254 + c - 1) // c
+    acc = None
+    for win in reversed(range(nwin)):
+        if acc is not None:
+            for _ in range(c):
+                acc = g1_add(acc, acc)
+        buckets = {}
+        shift = win * c
+        for p, s in pairs:
+            d = (s >> shift) & ((1 << c) - 1)
+            if d:
+                buckets[d] = g1_add(buckets.get(d), p)
+        running = None
+        wsum = None
+        for d in range(max(buckets.keys(), default=0), 0, -1):
+            if d in buckets:
+                running = g1_add(running, buckets[d])
+            if running is not None:
+                wsum = g1_add(wsum, running)
+        acc = g1_add(acc, wsum)
+    return acc
+
+
 def msm(bases: MSMBases, scalars, batch_input: bool = False):
     """MSM over fixed bases.
 
@@ -268,6 +307,11 @@ def msm(bases: MSMBases, scalars, batch_input: bool = False):
     over the same bases) or a device array (P, n, L) of Fr Montgomery limbs.
     Returns one host affine point, or a list for batched input.
     """
+    if not isinstance(scalars, jnp.ndarray) and bases.n <= HOST_MSM_MAX:
+        if scalars and isinstance(scalars[0], (list, tuple)):
+            return [host_msm(bases.points, row) for row in scalars]
+        pt = host_msm(bases.points, scalars)
+        return pt if batch_input is False else [pt]
     if isinstance(scalars, jnp.ndarray):
         sc = scalars if scalars.ndim == 3 else scalars[None]
         single = scalars.ndim == 2

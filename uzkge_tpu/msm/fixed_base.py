@@ -1,0 +1,646 @@
+"""Fixed-base MSM over BN254 G1 as Pallas scan-reduction kernels.
+
+Round-1's variable-base Pippenger (msm.py) walked points with a 256-step
+`lax.scan`, gathering/scattering a (P, W, K, 256, L) bucket tensor every
+step — scatter-in-scan is the worst possible pattern for the TPU memory
+model (measured 14.5k points/s).  This module replaces it for the case that
+actually occurs in the prover: every production MSM (KZG commit over the
+SRS Lagrange basis, kzg_poly_commitment.rs:290; t-chunk and opening commits
+over the SRS powers) is over a FIXED base set.  TPU-first design:
+
+  * trade HBM for compute: precompute d * 2^(c*w) * P_i for every window w
+    and signed digit d in [1, 2^(c-1)] (c = 8) — a 4.3 GB uint16 table for
+    n = 16384, built on-device in seconds and reused for every proof;
+  * an MSM is then: recode scalars to signed digits (branchless, on-device)
+    -> one big row gather -> sum of n*W looked-up points via COMPLETE
+    additions (Renes-Costello-Batina 2015/1060 Alg. 7/8: branch-free,
+    identity-safe — what the VPU wants);
+  * the summation runs as Pallas scan kernels: each grid block holds
+    (S, G) leaves in VMEM and folds the S-axis into two interleaved running
+    sums (two carries hide the add-chain latency), all CIOS multiplies
+    VMEM-resident via ff.pallas_rows; a handful of rounds reduces millions
+    of leaves to one point per MSM (~60M complete adds/s/chip measured);
+  * kernel traces stay at ONE group-add (fori_loop over the S axis), so
+    Mosaic compiles in tens of seconds and results are disk-cached;
+  * no scatter, no sort, no bucket state; batching rides the lane axis,
+    sharding splits it across the mesh (uzkge_tpu.parallel).
+
+All group formulas are generic over the field-ops container (Pallas limb
+rows on TPU, vfield whole arrays on CPU), so the CPU test suite exercises
+identical math through lax.scan versions of the same reductions.
+
+Digit recode never overflows the top window because 254 mod 8 = 6 <= c-2
+(scalars < r < 2^254); d = 0 maps to the identity, absorbed branch-free.
+"""
+
+import functools
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants.bn254 import Q_MOD, R_MOD
+from ..ff.jax_field import L, fq_ctx, fr_ctx
+from ..ff.pallas_rows import RowCtx, rfq, rfr
+from ..ff.pallas_field import use_pallas, pmul
+
+
+B3_INT = 9  # 3*b for BN254 G1 (y^2 = x^3 + 3)
+
+
+# ------------------------------------------------- generic group formulas
+
+
+def padd_g(f, P1, P2):
+    """Complete projective addition, RCB Alg. 7 (a=0, b3=9)."""
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    mul, add, sub = f.mul, f.add, f.sub
+    t0 = mul(X1, X2)
+    t1 = mul(Y1, Y2)
+    t2 = mul(Z1, Z2)
+    t3 = add(X1, Y1)
+    t4 = add(X2, Y2)
+    t3 = mul(t3, t4)
+    t4 = add(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = add(Y1, Z1)
+    X3 = add(Y2, Z2)
+    t4 = mul(t4, X3)
+    X3 = add(t1, t2)
+    t4 = sub(t4, X3)
+    X3 = add(X1, Z1)
+    Y3 = add(X2, Z2)
+    X3 = mul(X3, Y3)
+    Y3 = add(t0, t2)
+    Y3 = sub(X3, Y3)
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = f.mul_small(t2, B3_INT)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = f.mul_small(Y3, B3_INT)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return X3, Y3, Z3
+
+
+def madd_g(f, P1, A2):
+    """Complete mixed addition (projective + affine), RCB Alg. 8 (a=0,
+    b3=9).  P1 may be the identity; A2 must not be."""
+    X1, Y1, Z1 = P1
+    x2, y2 = A2
+    mul, add, sub = f.mul, f.add, f.sub
+    t0 = mul(X1, x2)
+    t1 = mul(Y1, y2)
+    t3 = add(x2, y2)
+    t4 = add(X1, Y1)
+    t3 = mul(t3, t4)
+    t4 = add(t0, t1)
+    t3 = sub(t3, t4)
+    t4 = mul(y2, Z1)
+    t4 = add(t4, Y1)
+    Y3 = mul(x2, Z1)
+    Y3 = add(Y3, X1)
+    X3 = add(t0, t0)
+    t0 = add(X3, t0)
+    t2 = f.mul_small(Z1, B3_INT)
+    Z3 = add(t1, t2)
+    t1 = sub(t1, t2)
+    Y3 = f.mul_small(Y3, B3_INT)
+    X3 = mul(t4, Y3)
+    t2 = mul(t3, t1)
+    X3 = sub(t2, X3)
+    Y3 = mul(Y3, t0)
+    t1 = mul(t1, Z3)
+    Y3 = add(t1, Y3)
+    t0 = mul(t0, t3)
+    Z3 = mul(Z3, t4)
+    Z3 = add(Z3, t0)
+    return X3, Y3, Z3
+
+
+def _identity(f, like):
+    zero = f.zero_like(like)
+    return zero, f.one_mont_like(like), f.zero_like(like)
+
+
+def _leaf_step(f, carry, x, y, d):
+    """Fold one leaf column into the running sum.  Leaves are affine table
+    entries with a signed digit: d < 0 negates y, d == 0 is the identity
+    (computed with a garbage-but-valid row-0 point, then deselected)."""
+    neg = d < 0
+    inf = d == 0
+    y = f.select(neg, f.neg(y), y)
+    r = madd_g(f, carry, (x, y))
+    return tuple(f.select(inf, c, v) for c, v in zip(carry, r))
+
+
+def _proj_step(f, carry, X, Y, Z):
+    return padd_g(f, carry, (X, Y, Z))
+
+
+# ------------------------------------------------------------ TPU kernels
+
+
+def _rows(ref):
+    return [ref[i, :] for i in range(L)]
+
+
+def _col(ref, s):
+    """(L, S, G) ref -> limb rows of column s."""
+    return [ref[i, pl.ds(s, 1), :][0] for i in range(L)]
+
+
+def _store(ref, rows):
+    for i in range(L):
+        ref[i, :] = rows[i]
+
+
+def _store3(refs, rows3):
+    for ref, rows in zip(refs, rows3):
+        _store(ref, rows)
+
+
+def _scan_leaf_kernel(S, x_ref, y_ref, d_ref, ox, oy, oz):
+    """Two interleaved running sums over the S axis (hides the dependent
+    add-chain latency), combined once at the end."""
+    f = rfq
+
+    def step(carry, s):
+        return _leaf_step(f, carry, _col(x_ref, s), _col(y_ref, s),
+                          d_ref[pl.ds(s, 1), :][0])
+
+    like = [x_ref[0, 0, :]]
+    init = (_identity(f, like), _identity(f, like))
+
+    def body(t, ab):
+        a, b = ab
+        return step(a, 2 * t), step(b, 2 * t + 1)
+
+    a, b = jax.lax.fori_loop(0, S // 2, body, init)
+    _store3((ox, oy, oz), padd_g(f, a, b))
+
+
+def _scan_proj_kernel(S, x_ref, y_ref, z_ref, ox, oy, oz):
+    f = rfq
+
+    def step(carry, s):
+        return _proj_step(f, carry, _col(x_ref, s), _col(y_ref, s), _col(z_ref, s))
+
+    like = [x_ref[0, 0, :]]
+    init = (_identity(f, like), _identity(f, like))
+
+    def body(t, ab):
+        a, b = ab
+        return step(a, 2 * t), step(b, 2 * t + 1)
+
+    a, b = jax.lax.fori_loop(0, S // 2, body, init)
+    _store3((ox, oy, oz), padd_g(f, a, b))
+
+
+def _bases_kernel(W, c, x_ref, y_ref, ox, oy, oz):
+    """Doubling chain: emit T = 2^(c*w) P at every w, one padd in trace."""
+    f = rfq
+    x, y = _rows(x_ref), _rows(y_ref)
+    T = (x, y, f.one_mont_like(x))
+
+    def store_w(w, T):
+        for i in range(L):
+            ox[i, pl.ds(w, 1), :] = T[0][i][None]
+            oy[i, pl.ds(w, 1), :] = T[1][i][None]
+            oz[i, pl.ds(w, 1), :] = T[2][i][None]
+
+    def body(t, T):
+        @pl.when(t % c == 0)
+        def _():
+            store_w(t // c, T)
+        return padd_g(f, T, T)
+
+    T = jax.lax.fori_loop(0, (W - 1) * c, body, T)
+    store_w(W - 1, T)
+
+
+def _mult_chunk_kernel(CH, tx_ref, ty_ref, tz_ref, bx_ref, by_ref,
+                       ox, oy, oz, ftx, fty, ftz):
+    """Multiple chain: emit T, then step T += B (complete mixed add), CH
+    times; also outputs the advanced chain state (entry T = m*B emits
+    multiples m..m+CH-1 and exits with (m+CH)*B)."""
+    f = rfq
+    B = (_rows(bx_ref), _rows(by_ref))
+    T = (_rows(tx_ref), _rows(ty_ref), _rows(tz_ref))
+
+    def body(j, T):
+        for i in range(L):
+            ox[i, pl.ds(j, 1), :] = T[0][i][None]
+            oy[i, pl.ds(j, 1), :] = T[1][i][None]
+            oz[i, pl.ds(j, 1), :] = T[2][i][None]
+        return madd_g(f, T, B)
+
+    T = jax.lax.fori_loop(0, CH, body, T)
+    _store3((ftx, fty, ftz), T)
+
+
+def _prod_kernel(S, a_ref, o_ref):
+    f = rfq
+
+    def body(s, carry):
+        return f.mul(carry, _col(a_ref, s))
+
+    _store(o_ref, jax.lax.fori_loop(1, S, body, _col(a_ref, 0)))
+
+
+def _inv_kernel(S, a_ref, pinv_ref, o_ref):
+    """Per-lane inverses given the inverse of each lane-group's product:
+    forward prefix products staged into o_ref, then a backward sweep."""
+    f = rfq
+
+    def fwd(s, pref):
+        pref = f.mul(pref, _col(a_ref, s))
+        for i in range(L):
+            o_ref[i, pl.ds(s, 1), :] = pref[i][None]
+        return pref
+
+    pref0 = _col(a_ref, 0)
+    for i in range(L):
+        o_ref[i, pl.ds(0, 1), :] = pref0[i][None]
+    jax.lax.fori_loop(1, S, fwd, pref0)
+
+    def bwd(t, pinv):
+        s = S - 1 - t
+        prev = _col(o_ref, s - 1)  # prefix_{s-1}, still intact
+        inv_s = f.mul(pinv, prev)
+        pinv = f.mul(pinv, _col(a_ref, s))
+        for i in range(L):
+            o_ref[i, pl.ds(s, 1), :] = inv_s[i][None]
+        return pinv
+
+    pinv = jax.lax.fori_loop(0, S - 1, bwd, _rows(pinv_ref))
+    for i in range(L):
+        o_ref[i, pl.ds(0, 1), :] = pinv[i][None]
+
+
+# -------------------------------------------------------- pallas plumbing
+
+
+def _specSG(S, G):
+    return pl.BlockSpec((L, S, G), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+
+def _specG(G):
+    return pl.BlockSpec((L, G), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _pick_G(total: int, cap: int = 1024) -> int:
+    g = 1
+    while g < cap and total % (g * 2) == 0:
+        g *= 2
+    return g if total % g == 0 and g >= 128 else total
+
+
+def _scan_reduce_tpu(kernel_fn, S, arrays, d=None):
+    """arrays: tuple of (L, S, total) inputs; optional (S, total) digit
+    plane.  Returns tuple of (L, total) reduced outputs."""
+    total = arrays[0].shape[2]
+    G = _pick_G(total)
+    grid = total // G
+    in_specs = [_specSG(S, G)] * len(arrays)
+    args = list(arrays)
+    if d is not None:
+        in_specs.append(pl.BlockSpec((S, G), lambda i: (0, i), memory_space=pltpu.VMEM))
+        args.append(d)
+    call = pl.pallas_call(
+        functools.partial(kernel_fn, S),
+        out_shape=tuple(jax.ShapeDtypeStruct((L, total), jnp.uint32) for _ in range(3)),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(_specG(G) for _ in range(3)),
+    )
+    return call(*args)
+
+
+def _to_scan_layout(x, S):
+    """(..., N) -> (..., S, N//S): element (.., j*S+s) -> (.., s, j)."""
+    n = x.shape[-1]
+    return jnp.swapaxes(x.reshape(x.shape[:-1] + (n // S, S)), -1, -2)
+
+
+# ----------------------------------------------------------- CPU variants
+
+
+def _vfq():
+    from ..ff.vfield import vfq
+
+    return vfq
+
+
+def _scan_reduce_cpu(step_fn, S, arrays, d=None):
+    f = _vfq()
+    xs = tuple(jnp.moveaxis(a, 1, 0) for a in arrays)  # (S, L, total)
+    if d is not None:
+        xs = xs + (d,)
+
+    def body(carry, cols):
+        return step_fn(f, carry, *cols), None
+
+    init = _identity(f, arrays[0][:, 0, :])
+    out, _ = jax.lax.scan(body, init, xs)
+    return out
+
+
+# --------------------------------------------------------- reduce dispatch
+
+
+def _reduce_round(X, Y, Z, S, d=None, x_affine=False):
+    """One reduction round: (L, N) -> (L, N/S).  Leaf rounds (x_affine)
+    take gathered affine coords + digits already in scan layout."""
+    if use_pallas():
+        if x_affine:
+            return _scan_reduce_tpu(_scan_leaf_kernel, S, (X, Y), d=d)
+        return _scan_reduce_tpu(_scan_proj_kernel, S, (X, Y, Z))
+    if x_affine:
+        return _scan_reduce_cpu(_leaf_step, S, (X, Y), d=d)
+    return _scan_reduce_cpu(_proj_step, S, (X, Y, Z))
+
+
+def _pick_S(per: int, cap: int = 32) -> int:
+    s = 1
+    while s < cap and per % (s * 2) == 0 and per // (s * 2) >= 1:
+        s *= 2
+    return s
+
+
+# ---------------------------------------------------------- batch inversion
+
+
+def pbatch_inv_fq(a):
+    """Batched Fq inversion of (L, N): Pallas prefix-product scans per lane
+    group + one Fermat ladder at the root on TPU; vfield tree on CPU.
+    Inputs must be nonzero; N arbitrary power-of-two-friendly size."""
+    vfq = _vfq()
+    n = a.shape[1]
+    if not use_pallas() or n < 1024:
+        return vfq.batch_inv(a)
+    S = 32
+    levels = []
+    cur = a
+    while cur.shape[1] >= 1024 and cur.shape[1] % S == 0:
+        lay = _to_scan_layout(cur, S)
+        levels.append(lay)
+        G = _pick_G(cur.shape[1] // S)
+        grid = (cur.shape[1] // S) // G
+        cur = pl.pallas_call(
+            functools.partial(_prod_kernel, S),
+            out_shape=jax.ShapeDtypeStruct((L, cur.shape[1] // S), jnp.uint32),
+            grid=(grid,),
+            in_specs=[_specSG(S, G)],
+            out_specs=_specG(G),
+        )(lay)
+    inv = vfq.batch_inv(cur)
+    for lay in reversed(levels):
+        total = lay.shape[2]
+        G = _pick_G(total)
+        grid = total // G
+        out = pl.pallas_call(
+            functools.partial(_inv_kernel, S),
+            out_shape=jax.ShapeDtypeStruct((L, S, total), jnp.uint32),
+            grid=(grid,),
+            in_specs=[_specSG(S, G), _specG(G)],
+            out_specs=_specSG(S, G),
+        )(lay, inv)
+        # undo scan layout: (L, S, N/S) -> (L, N)
+        inv = jnp.swapaxes(out, -1, -2).reshape(L, S * total)
+    return inv
+
+
+# ------------------------------------------------------------ digit recode
+
+
+def recode_digits(std_v, c: int, bits: int):
+    """(L, ...) standard-form limbs -> (..., nd) int32 signed base-2^c
+    digits, |d| <= 2^(c-1); branchless carry recode on device.
+    Safe iff values < 2^bits and bits mod c <= c-2 (the top digit absorbs
+    the final carry) — asserted."""
+    assert 16 % c == 0 and bits % c <= c - 2
+    nd = (bits + c - 1) // c
+    per_limb = 16 // c
+    half = 1 << (c - 1)
+    full = 1 << c
+    digits = []
+    carry = jnp.zeros(std_v.shape[1:], jnp.uint32)
+    for k in range(nd):
+        raw = (std_v[k // per_limb] >> ((k % per_limb) * c)) & (full - 1)
+        v = raw + carry
+        ge = v > half
+        d = jnp.where(ge, v.astype(jnp.int32) - full, v.astype(jnp.int32))
+        carry = ge.astype(jnp.uint32)
+        digits.append(d)
+    return jnp.stack(digits, axis=-1)
+
+
+# -------------------------------------------------------------- table build
+
+
+def _mont_one_col():
+    return jnp.asarray(np.array([int(m) for m in rfq.mont_one], np.uint32)[:, None])
+
+
+def _build_bases(x_v, y_v, W: int, c: int):
+    """(L, n) affine -> (L, W, n) affine window bases B_w = 2^(c*w) P."""
+    n = x_v.shape[1]
+    if use_pallas():
+        G = _pick_G(n, cap=512)
+        BX, BY, BZ = pl.pallas_call(
+            functools.partial(_bases_kernel, W, c),
+            out_shape=tuple(jax.ShapeDtypeStruct((L, W, n), jnp.uint32) for _ in range(3)),
+            grid=(n // G,),
+            in_specs=[_specG(G)] * 2,
+            out_specs=tuple(
+                pl.BlockSpec((L, W, G), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+                for _ in range(3)
+            ),
+        )(x_v, y_v)
+    else:
+        f = _vfq()
+        T0 = (x_v, y_v, f.one_mont_like(x_v))
+        if W == 1:
+            BX, BY, BZ = (v[:, None, :] for v in T0)
+        else:
+            def dbl(T, _):
+                return padd_g(f, T, T), T
+
+            Tf, emitted = jax.lax.scan(dbl, T0, None, length=(W - 1) * c)
+            sel = tuple(e[::c] for e in emitted)  # (W-1, L, n) each
+            BX, BY, BZ = (
+                jnp.concatenate([jnp.moveaxis(e, 0, 1), fin[:, None, :]], axis=1)
+                for e, fin in zip(sel, Tf)
+            )
+    BX, BY, BZ = (v.reshape(L, W * n) for v in (BX, BY, BZ))
+    zinv = pbatch_inv_fq(BZ)
+    return pmul(rfq, BX, zinv), pmul(rfq, BY, zinv)
+
+
+def _build_chunk(TX, TY, TZ, bax, bay, CH: int):
+    """Emit CH consecutive multiples (normalized, uint16-packed rows) and
+    return the advanced chain state (one madd step ahead)."""
+    n = TX.shape[1]
+    if use_pallas():
+        G = _pick_G(n, cap=512)
+        outs = pl.pallas_call(
+            functools.partial(_mult_chunk_kernel, CH),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct((L, CH, n), jnp.uint32)] * 3
+                + [jax.ShapeDtypeStruct((L, n), jnp.uint32)] * 3
+            ),
+            grid=(n // G,),
+            in_specs=[_specG(G)] * 5,
+            out_specs=tuple(
+                [pl.BlockSpec((L, CH, G), lambda i: (0, 0, i), memory_space=pltpu.VMEM)] * 3
+                + [_specG(G)] * 3
+            ),
+        )(TX, TY, TZ, bax, bay)
+        EX, EY, EZ, TX, TY, TZ = outs
+    else:
+        f = _vfq()
+
+        def step(T, _):
+            return madd_g(f, T, (bax, bay)), T
+
+        (TX, TY, TZ), emitted = jax.lax.scan(step, (TX, TY, TZ), None, length=CH)
+        EX, EY, EZ = (jnp.moveaxis(e, 0, 1) for e in emitted)  # (L, CH, n)
+    EX, EY, EZ = (v.reshape(L, CH * n) for v in (EX, EY, EZ))
+    zinv = pbatch_inv_fq(EZ)
+    ex_a = pmul(rfq, EX, zinv)
+    ey_a = pmul(rfq, EY, zinv)
+    packed = jnp.concatenate(
+        [jnp.moveaxis(ex_a, 0, -1), jnp.moveaxis(ey_a, 0, -1)], axis=-1
+    ).astype(jnp.uint16)
+    return TX, TY, TZ, packed
+
+
+class FixedBaseTable:
+    """Device-resident signed-window multiple table for a fixed G1 base set.
+
+    Table layout: row (d-1)*W*n + w*n + i holds (d * 2^(c*w) * P_i) as 32
+    uint16-packed limbs (x||y), built entirely on device.
+
+    `bits` bounds the scalars (default 254 covers Fr); tests use smaller
+    values to keep window counts tiny.
+    """
+
+    def __init__(self, points: List, c: int = 8, bits: int = 254):
+        self.n = len(points)
+        self.c = c
+        self.bits = bits
+        assert 16 % c == 0 and bits % c <= c - 2
+        self.W = (bits + c - 1) // c
+        self.D = 1 << (c - 1)
+        assert all(p is not None for p in points)
+        self.points = list(points)
+        n, W, D = self.n, self.W, self.D
+        assert (W * n) & (W * n - 1) == 0 and W * n >= 32, \
+            "W*n must be a power of two >= 32"
+
+        xs = fq_ctx.to_mont_limbs([p[0] for p in points]).reshape(n, L)
+        ys = fq_ctx.to_mont_limbs([p[1] for p in points]).reshape(n, L)
+        x_v = jnp.moveaxis(xs, -1, 0)
+        y_v = jnp.moveaxis(ys, -1, 0)
+
+        bases_jit = jax.jit(functools.partial(_build_bases, W=W, c=c))
+        bax, bay = bases_jit(x_v, y_v)
+
+        CH = min(16, D)
+        chunk_jit = jax.jit(functools.partial(_build_chunk, CH=CH))
+        one = jnp.broadcast_to(_mont_one_col(), bax.shape)
+        TX, TY, TZ = bax, bay, one
+        chunks = []
+        for _ in range(D // CH):
+            TX, TY, TZ, packed = chunk_jit(TX, TY, TZ, bax, bay)
+            chunks.append(packed)
+        self.table = jnp.concatenate(chunks, axis=0)  # (D*W*n, 32) uint16
+        self._msm_jit = jax.jit(self._msm_impl)
+
+    # ------------------------------------------------------------- querying
+
+    def _msm_impl(self, table, scalars_mont):
+        """(P, n, L) Fr Montgomery -> (L, P) projective sums."""
+        P = scalars_mont.shape[0]
+        n, W = self.n, self.W
+        sv = jnp.moveaxis(scalars_mont, -1, 0).reshape(L, P * n)
+        one_std = jnp.asarray(np.array([int(v) for v in rfr.one_std], np.uint32)[:, None])
+        std = pmul(rfr, sv, jnp.broadcast_to(one_std, sv.shape)).reshape(L, P, n)
+        digits = recode_digits(std, self.c, self.bits)  # (P, n, W)
+        d_t = jnp.moveaxis(digits, -1, 1).reshape(P, W * n)  # (P, W*n)
+
+        per = W * n
+        S = _pick_S(per)
+        d_lay = _to_scan_layout(d_t, S)          # (P, S, per/S)
+        d_lay = jnp.moveaxis(d_lay, 1, 0).reshape(S, P * (per // S))
+        idx_mag = jnp.abs(d_t)
+        base_idx = (jnp.arange(W, dtype=jnp.int32)[:, None] * n
+                    + jnp.arange(n, dtype=jnp.int32)[None, :]).reshape(1, W * n)
+        idx = jnp.maximum(idx_mag - 1, 0) * (W * n) + base_idx  # (P, W*n)
+        idx_lay = jnp.moveaxis(_to_scan_layout(idx, S), 1, 0).reshape(S, -1)
+        rows = table[idx_lay.reshape(-1)].astype(jnp.uint32)  # (S*P*J, 32)
+        J = per // S
+        x = jnp.moveaxis(rows[:, :L], -1, 0).reshape(L, S, P * J)
+        y = jnp.moveaxis(rows[:, L:], -1, 0).reshape(L, S, P * J)
+
+        X, Y, Z = _reduce_round(x, y, None, S, d=d_lay, x_affine=True)
+        per = J
+        while per > 1:
+            S = _pick_S(per)
+            Xl = jnp.moveaxis(_to_scan_layout(X.reshape(L, P, per), S), 2, 1)
+            Yl = jnp.moveaxis(_to_scan_layout(Y.reshape(L, P, per), S), 2, 1)
+            Zl = jnp.moveaxis(_to_scan_layout(Z.reshape(L, P, per), S), 2, 1)
+            per = per // S
+            X, Y, Z = _reduce_round(
+                Xl.reshape(L, S, P * per), Yl.reshape(L, S, P * per),
+                Zl.reshape(L, S, P * per), S,
+            )
+        return X, Y, Z
+
+    def msm_mont(self, scalars_mont):
+        """scalars_mont: (P, n, L) horizontal Fr Montgomery limbs.
+        Returns a list of P host affine points (None = identity)."""
+        P = scalars_mont.shape[0]
+        X, Y, Z = self._msm_jit(self.table, scalars_mont)
+        return _extract_host(X, Y, Z, P)
+
+    def msm_ints(self, rows: List[List[int]]):
+        arr = fr_ctx.to_mont_limbs([s % R_MOD for row in rows for s in row]).reshape(
+            len(rows), self.n, L
+        )
+        return self.msm_mont(arr)
+
+
+def _extract_host(X, Y, Z, P: int):
+    """(L, P*m) projective partial sums -> P host affine points."""
+    from ..curve.bn254 import g1_add
+
+    m = X.shape[1] // P
+    flat = jnp.concatenate([X, Y, Z], axis=1)  # (L, 3*P*m)
+    ints = fq_ctx.from_mont_limbs(jnp.moveaxis(flat, 0, -1))
+    N = P * m
+    out = []
+    for i in range(P):
+        acc = None
+        for j in range(m):
+            k = i * m + j
+            Xi, Yi, Zi = ints[k], ints[N + k], ints[2 * N + k]
+            if Zi == 0:
+                continue
+            zi = pow(Zi, Q_MOD - 2, Q_MOD)
+            acc = g1_add(acc, (Xi * zi % Q_MOD, Yi * zi % Q_MOD))
+        out.append(acc)
+    return out

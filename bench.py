@@ -1,15 +1,20 @@
 #!/usr/bin/env python3
-"""Per-chip kernel benchmark.  Prints ONE JSON line to stdout:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Per-chip benchmark.  Prints ONE JSON line to stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Headline metric: Pippenger MSM throughput (points/s) over the embedded
-n=16384 Lagrange SRS — the prover's dominant kernel.  Secondary numbers
-(NTT butterflies/s, quotient-kernel eval rate) go to stderr.
+Headline metric: MSM throughput (points/s) over the embedded n=16384
+Lagrange SRS through the production KZG commit path (fixed-base
+signed-window Pallas kernels, msm/fixed_base.py) — the prover's dominant
+kernel.  Extra fields in the same JSON object: 52-card shuffle proof
+latency (proof verified), NTT butterflies/s.
 
 vs_baseline is measured against a single-socket CPU arkworks MSM at
 ~2.0e6 points/s (typical rayon-parallel VariableBaseMSM on a modern
 16-core socket for 2^14 points; the reference publishes no numbers —
 BASELINE.md).
+
+Stage timings/details go to stderr; stages degrade independently (a failed
+stage reports null for its field instead of killing the headline).
 """
 
 import json
@@ -24,44 +29,102 @@ import jax
 import uzkge_tpu.backend  # noqa: F401
 
 CPU_BASELINE_MSM_PPS = 2.0e6
+T_START = time.time()
+BUDGET_S = float(os.environ.get("UZKGE_BENCH_BUDGET", "1100"))
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def elapsed():
+    return time.time() - T_START
+
+
 def bench_msm(n=16384, batch=8, iters=3):
+    """Headline: points/s through KZG.commit_evals_batch (the path every
+    prover commitment takes), including host affine extraction."""
     import random
     from uzkge_tpu.gen_params import load_srs
-    from uzkge_tpu.msm.msm import MSMBases, _msm_device
     from uzkge_tpu.ff.jax_field import fr_ctx, L
     from uzkge_tpu.constants.bn254 import R_MOD
 
     kzg = load_srs(n)
-    bases = MSMBases(kzg._lagrange_points, chunks=64)
     rng = random.Random(42)
-    rows = [[rng.randrange(R_MOD) for _ in range(n)] for _ in range(batch)]
-    flat = [s for row in rows for s in row]
+    flat = [rng.randrange(R_MOD) for _ in range(batch * n)]
     sc = fr_ctx.to_mont_limbs(flat).reshape(batch, n, L)
 
     t0 = time.time()
-    out = _msm_device(bases.x, bases.y, sc, bases.chunks)
-    jax.block_until_ready(out)
-    log(f"msm compile+first: {time.time()-t0:.2f}s")
+    tab = kzg.lagrange_fb_table()
+    log(f"msm fixed-base table build (n={n}, c={tab.c}): {time.time()-t0:.1f}s "
+        f"({tab.table.shape[0]} rows, {tab.table.nbytes/1e9:.2f} GB)")
+
+    t0 = time.time()
+    out = kzg.commit_evals_batch(sc)
+    log(f"msm compile+first: {time.time()-t0:.1f}s")
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = _msm_device(bases.x, bases.y, sc, bases.chunks)
-        jax.block_until_ready(out)
+        out = kzg.commit_evals_batch(sc)
         times.append(time.time() - t0)
     t = min(times)
     pps = batch * n / t
-    log(f"msm n={n} batch={batch}: {t*1e3:.1f} ms -> {pps:,.0f} points/s")
+
+    # spot-check one commitment against the host oracle on a small prefix
+    from uzkge_tpu.curve.bn254 import g1_msm
+    k = 256
+    small = [flat[:k] + [0] * (n - k)]
+    got = kzg.commit_evals_batch(fr_ctx.to_mont_limbs(small[0]).reshape(1, n, L))[0]
+    want = g1_msm(kzg._lagrange_points[:k], small[0][:k])
+    assert got == want, "MSM mismatch vs host oracle"
+    log(f"msm n={n} batch={batch}: {t*1e3:.1f} ms -> {pps:,.0f} points/s (oracle ok)")
     return pps
 
 
+def bench_prove_52(iters=2):
+    """52-card shuffle proof wall-clock (the BASELINE north star), steady
+    state after one warmup, proof verified."""
+    import random
+    from uzkge_tpu.shuffle.app import (
+        gen_shuffle_prover_params, prove_shuffle, verify_shuffle, Keypair,
+        aggregate_keys, mask,
+    )
+    from uzkge_tpu.curve import babyjubjub as bjj
+    from uzkge_tpu.shuffle.sdk import index_to_point
+    from uzkge_tpu.plonk.indexer import refresh_prover_params_public_key
+
+    rng = random.Random(7)
+    t0 = time.time()
+    pp, cs, kzg = gen_shuffle_prover_params(52)
+    log(f"prove52 params (indexer): {time.time()-t0:.1f}s")
+
+    keys = [Keypair.generate(rng) for _ in range(4)]
+    apk = aggregate_keys([k.public for k in keys])
+    t0 = time.time()
+    refresh_prover_params_public_key(pp, cs, kzg, apk)
+    log(f"prove52 pk refresh: {time.time()-t0:.1f}s")
+    cards = [index_to_point(i) for i in range(52)]
+    deck = [mask(rng, apk, c, rng.randrange(1, bjj.ORDER))[0] for c in cards]
+
+    t0 = time.time()
+    proof, outputs = prove_shuffle(rng, apk, deck, pp, kzg)
+    log(f"prove52 warmup (compile): {time.time()-t0:.1f}s")
+
+    times = []
+    for _ in range(iters):
+        t0 = time.time()
+        proof, outputs = prove_shuffle(rng, apk, deck, pp, kzg)
+        times.append(time.time() - t0)
+    lat = min(times)
+    ok = verify_shuffle(pp.verifier_params, kzg, deck, outputs, proof)
+    log(f"prove52 latency: {lat:.2f}s (best of {iters}), verify={ok}")
+    assert ok, "52-card proof failed verification"
+    return lat
+
+
 def bench_ntt(n=131072, batch=4, iters=3):
+    import math
     import random
     from uzkge_tpu.ntt.ntt import get_domain
     from uzkge_tpu.ff.jax_field import fr_ctx, L
@@ -83,29 +146,37 @@ def bench_ntt(n=131072, batch=4, iters=3):
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     t = min(times)
-    import math
-
     bfs = batch * (n // 2) * int(math.log2(n)) / t
     log(f"ntt n={n} batch={batch}: {t*1e3:.1f} ms -> {bfs:,.0f} butterflies/s")
     return bfs
 
 
+def _stage(name, fn, budget_frac):
+    if elapsed() > BUDGET_S * budget_frac:
+        log(f"{name}: skipped (elapsed {elapsed():.0f}s > budget)")
+        return None
+    try:
+        return fn()
+    except Exception as e:
+        log(f"{name} failed: {e!r}")
+        return None
+
+
 def main():
     platform = jax.devices()[0].platform
     log(f"platform: {platform}, devices: {jax.devices()}")
-    try:
-        ntt_bfs = bench_ntt()
-    except Exception as e:  # keep the headline metric alive
-        log(f"ntt bench failed: {e!r}")
-        ntt_bfs = None
-    pps = bench_msm()
+    pps = _stage("msm", bench_msm, 1.0)
+    lat = _stage("prove52", bench_prove_52, 0.55)
+    ntt_bfs = _stage("ntt", bench_ntt, 0.85)
     print(
         json.dumps(
             {
                 "metric": "msm_points_per_sec_16384_per_chip",
-                "value": round(pps),
+                "value": round(pps) if pps else 0,
                 "unit": "points/s",
-                "vs_baseline": round(pps / CPU_BASELINE_MSM_PPS, 3),
+                "vs_baseline": round(pps / CPU_BASELINE_MSM_PPS, 3) if pps else 0,
+                "proof_latency_s_52cards": round(lat, 3) if lat else None,
+                "ntt_butterflies_per_sec": round(ntt_bfs) if ntt_bfs else None,
             }
         )
     )

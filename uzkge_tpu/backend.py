@@ -6,12 +6,30 @@ expensive — cache hits make subsequent runs instant) and exposes small
 helpers for device/platform introspection.
 """
 
+import hashlib
 import os
+import platform as _platform
 
 import jax
 
+
+def _machine_key() -> str:
+    """Per-(backend, host-CPU) cache key.  XLA:CPU AOT entries embed the
+    compile machine's feature set; reusing a cache written on a different
+    host CPU forces noisy reload failures + recompiles (seen when the TPU
+    host's CPU cache was replayed on the multichip-dryrun machine)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            model = next((l for l in f if l.startswith("model name")), "")
+    except OSError:
+        model = ""
+    raw = f"{jax.default_backend()}|{_platform.machine()}|{model.strip()}"
+    return f"{jax.default_backend()}-{hashlib.sha256(raw.encode()).hexdigest()[:8]}"
+
+
 _CACHE_DIR = os.environ.get(
-    "UZKGE_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/uzkge_tpu_xla")
+    "UZKGE_TPU_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~/.cache/uzkge_tpu_xla"), _machine_key()),
 )
 os.makedirs(_CACHE_DIR, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

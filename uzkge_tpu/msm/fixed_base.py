@@ -9,8 +9,9 @@ SRS Lagrange basis, kzg_poly_commitment.rs:290; t-chunk and opening commits
 over the SRS powers) is over a FIXED base set.  TPU-first design:
 
   * trade HBM for compute: precompute d * 2^(c*w) * P_i for every window w
-    and signed digit d in [1, 2^(c-1)] (c = 8) — a 4.3 GB uint16 table for
-    n = 16384, built on-device in seconds and reused for every proof;
+    and signed digit d in [1, 2^(c-1)] — c chosen per basis size by HBM
+    budget (pcs.kzg._fb_window: c=8 up to n=4096 at ~1 GB, c=4 above at
+    ~0.5 GB for n=16384), built on-device and reused for every proof;
   * an MSM is then: recode scalars to signed digits (branchless, on-device)
     -> one big row gather -> sum of n*W looked-up points via COMPLETE
     additions (Renes-Costello-Batina 2015/1060 Alg. 7/8: branch-free,
@@ -29,8 +30,9 @@ All group formulas are generic over the field-ops container (Pallas limb
 rows on TPU, vfield whole arrays on CPU), so the CPU test suite exercises
 identical math through lax.scan versions of the same reductions.
 
-Digit recode never overflows the top window because 254 mod 8 = 6 <= c-2
-(scalars < r < 2^254); d = 0 maps to the identity, absorbed branch-free.
+Digit recode never overflows the top window because 254 mod c <= c-2 for
+c in {4, 8} (scalars < r < 2^254); d = 0 maps to the identity, absorbed
+branch-free.
 """
 
 import functools
@@ -344,8 +346,8 @@ def _vfq():
     return vfq
 
 
-def _scan_reduce_cpu(step_fn, S, arrays, d=None):
-    f = _vfq()
+def _scan_reduce_cpu(step_fn, S, arrays, d=None, f=None):
+    f = f or _vfq()
     xs = tuple(jnp.moveaxis(a, 1, 0) for a in arrays)  # (S, L, total)
     if d is not None:
         xs = xs + (d,)
@@ -361,16 +363,18 @@ def _scan_reduce_cpu(step_fn, S, arrays, d=None):
 # --------------------------------------------------------- reduce dispatch
 
 
-def _reduce_round(X, Y, Z, S, d=None, x_affine=False):
+def _reduce_round(X, Y, Z, S, d=None, x_affine=False, f=None):
     """One reduction round: (L, N) -> (L, N/S).  Leaf rounds (x_affine)
-    take gathered affine coords + digits already in scan layout."""
+    take gathered affine coords + digits already in scan layout.  `f`
+    overrides the CPU-path field ctx (compact muls for compile-bound
+    callers)."""
     if use_pallas():
         if x_affine:
             return _scan_reduce_tpu(_scan_leaf_kernel, S, (X, Y), d=d)
         return _scan_reduce_tpu(_scan_proj_kernel, S, (X, Y, Z))
     if x_affine:
-        return _scan_reduce_cpu(_leaf_step, S, (X, Y), d=d)
-    return _scan_reduce_cpu(_proj_step, S, (X, Y, Z))
+        return _scan_reduce_cpu(_leaf_step, S, (X, Y), d=d, f=f)
+    return _scan_reduce_cpu(_proj_step, S, (X, Y, Z), f=f)
 
 
 def _pick_S(per: int, cap: int = 32) -> int:
@@ -528,6 +532,90 @@ def _build_chunk(TX, TY, TZ, bax, bay, CH: int):
     return TX, TY, TZ, packed
 
 
+def _reduce_leaves(gx, gy, d_lay, S, P, J, f=None):
+    """Reduce gathered affine leaves to one projective point per MSM row.
+
+    gx, gy: (L, S, P*J) affine leaf coords in scan layout; d_lay: (S, P*J)
+    signed digits (0 = identity).  Returns (X, Y, Z) each (L, P)."""
+    X, Y, Z = _reduce_round(gx, gy, None, S, d=d_lay, x_affine=True, f=f)
+    per = J
+    while per > 1:
+        S = _pick_S(per)
+        Xl = jnp.moveaxis(_to_scan_layout(X.reshape(L, P, per), S), 2, 1)
+        Yl = jnp.moveaxis(_to_scan_layout(Y.reshape(L, P, per), S), 2, 1)
+        Zl = jnp.moveaxis(_to_scan_layout(Z.reshape(L, P, per), S), 2, 1)
+        per = per // S
+        X, Y, Z = _reduce_round(
+            Xl.reshape(L, S, P * per), Yl.reshape(L, S, P * per),
+            Zl.reshape(L, S, P * per), S, f=f,
+        )
+    return X, Y, Z
+
+
+def _scalars_to_digits(scalars_mont, c: int, bits: int):
+    """(P, n, L) Fr Montgomery -> (P, n, W) signed digits (on device)."""
+    P = scalars_mont.shape[0]
+    n = scalars_mont.shape[1]
+    sv = jnp.moveaxis(scalars_mont, -1, 0).reshape(L, P * n)
+    one_std = jnp.asarray(np.array([int(v) for v in rfr.one_std], np.uint32)[:, None])
+    std = pmul(rfr, sv, jnp.broadcast_to(one_std, sv.shape)).reshape(L, P, n)
+    return recode_digits(std, c, bits)
+
+
+def msm_chain(x_v, y_v, scalars_mont, bits: int = 256):
+    """Fixed-base MSM with the window 'table' built on the fly as a doubling
+    chain (c = 2: chain entry 2w + |d| - 1 is |d| * 2^(2w) * P_i), so there
+    is no persistent HBM table — the per-shard shape used by the sharded MSM
+    (parallel/sharded.py), where each device sees a different point slice.
+    Compiles as three tiny scans (one group-add each), unlike the retired
+    scatter-in-scan Pippenger.
+
+    x_v, y_v: (L, n) affine Fq Montgomery (n a power of two); scalars_mont:
+    (P, n, L) Fr Montgomery.  Returns (X, Y, Z) projective sums, each (L, P).
+    bits = 256 keeps the window count a power of two (layout-friendly; the
+    top windows are all zero for Fr scalars < 2^254)."""
+    c = 2
+    n = x_v.shape[1]
+    P = scalars_mont.shape[0]
+    W = (bits + c - 1) // c  # 128
+    from ..ff.vfield import vfq_c as f  # compact muls: this path is compile-bound
+
+    # doubling chain 2^k P for k in [0, 2W): scan trace = ONE projective add
+    T0 = (x_v, y_v, f.one_mont_like(x_v))
+
+    def dbl(T, _):
+        return padd_g(f, T, T), T
+
+    Tf, emitted = jax.lax.scan(dbl, T0, None, length=2 * W - 1)
+    CX, CY, CZ = (
+        jnp.concatenate([jnp.moveaxis(e, 0, 1), fin[:, None, :]], axis=1).reshape(
+            L, 2 * W * n
+        )
+        for e, fin in zip(emitted, Tf)
+    )
+    # normalize to affine: Fermat ladder as a scan (2-mul trace) — chain
+    # points are never the identity (prime order), so Z != 0
+    zinv = f.inv(CZ)
+    ax = f.mul(CX, zinv)
+    ay = f.mul(CY, zinv)
+
+    digits = _scalars_to_digits(scalars_mont, c, bits)  # (P, n, W)
+    d_t = jnp.moveaxis(digits, -1, 1).reshape(P, W * n)
+    mag = jnp.abs(d_t)
+    base_idx = (2 * jnp.arange(W, dtype=jnp.int32)[:, None] * n
+                + jnp.arange(n, dtype=jnp.int32)[None, :]).reshape(1, W * n)
+    idx = base_idx + jnp.maximum(mag - 1, 0) * n  # chain flat index (2w + |d|-1, i)
+
+    per = W * n
+    S = _pick_S(per)
+    J = per // S
+    d_lay = jnp.moveaxis(_to_scan_layout(d_t, S), 1, 0).reshape(S, P * J)
+    idx_lay = jnp.moveaxis(_to_scan_layout(idx, S), 1, 0).reshape(S, P * J)
+    gx = ax[:, idx_lay.reshape(-1)].reshape(L, S, P * J)
+    gy = ay[:, idx_lay.reshape(-1)].reshape(L, S, P * J)
+    return _reduce_leaves(gx, gy, d_lay, S, P, J, f=f)
+
+
 class FixedBaseTable:
     """Device-resident signed-window multiple table for a fixed G1 base set.
 
@@ -539,10 +627,15 @@ class FixedBaseTable:
     """
 
     def __init__(self, points: List, c: int = 8, bits: int = 254):
+        from ..errors import ParameterError
+
         self.n = len(points)
         self.c = c
         self.bits = bits
-        assert 16 % c == 0 and bits % c <= c - 2
+        if 16 % c != 0 or bits % c > c - 2:
+            raise ParameterError(
+                f"window width c={c} must divide 16 with bits%c <= c-2 (bits={bits})"
+            )
         self.W = (bits + c - 1) // c
         self.D = 1 << (c - 1)
         assert all(p is not None for p in points)
@@ -576,39 +669,22 @@ class FixedBaseTable:
         """(P, n, L) Fr Montgomery -> (L, P) projective sums."""
         P = scalars_mont.shape[0]
         n, W = self.n, self.W
-        sv = jnp.moveaxis(scalars_mont, -1, 0).reshape(L, P * n)
-        one_std = jnp.asarray(np.array([int(v) for v in rfr.one_std], np.uint32)[:, None])
-        std = pmul(rfr, sv, jnp.broadcast_to(one_std, sv.shape)).reshape(L, P, n)
-        digits = recode_digits(std, self.c, self.bits)  # (P, n, W)
+        digits = _scalars_to_digits(scalars_mont, self.c, self.bits)  # (P, n, W)
         d_t = jnp.moveaxis(digits, -1, 1).reshape(P, W * n)  # (P, W*n)
 
         per = W * n
         S = _pick_S(per)
-        d_lay = _to_scan_layout(d_t, S)          # (P, S, per/S)
-        d_lay = jnp.moveaxis(d_lay, 1, 0).reshape(S, P * (per // S))
+        J = per // S
+        d_lay = jnp.moveaxis(_to_scan_layout(d_t, S), 1, 0).reshape(S, P * J)
         idx_mag = jnp.abs(d_t)
         base_idx = (jnp.arange(W, dtype=jnp.int32)[:, None] * n
                     + jnp.arange(n, dtype=jnp.int32)[None, :]).reshape(1, W * n)
         idx = jnp.maximum(idx_mag - 1, 0) * (W * n) + base_idx  # (P, W*n)
         idx_lay = jnp.moveaxis(_to_scan_layout(idx, S), 1, 0).reshape(S, -1)
         rows = table[idx_lay.reshape(-1)].astype(jnp.uint32)  # (S*P*J, 32)
-        J = per // S
         x = jnp.moveaxis(rows[:, :L], -1, 0).reshape(L, S, P * J)
         y = jnp.moveaxis(rows[:, L:], -1, 0).reshape(L, S, P * J)
-
-        X, Y, Z = _reduce_round(x, y, None, S, d=d_lay, x_affine=True)
-        per = J
-        while per > 1:
-            S = _pick_S(per)
-            Xl = jnp.moveaxis(_to_scan_layout(X.reshape(L, P, per), S), 2, 1)
-            Yl = jnp.moveaxis(_to_scan_layout(Y.reshape(L, P, per), S), 2, 1)
-            Zl = jnp.moveaxis(_to_scan_layout(Z.reshape(L, P, per), S), 2, 1)
-            per = per // S
-            X, Y, Z = _reduce_round(
-                Xl.reshape(L, S, P * per), Yl.reshape(L, S, P * per),
-                Zl.reshape(L, S, P * per), S,
-            )
-        return X, Y, Z
+        return _reduce_leaves(x, y, d_lay, S, P, J)
 
     def msm_mont(self, scalars_mont):
         """scalars_mont: (P, n, L) horizontal Fr Montgomery limbs.

@@ -1,7 +1,13 @@
 """KZG polynomial commitment scheme over BN254.
 
 Commit = MSM on TPU (uzkge_tpu.msm); open/verify = host-side group ops and
-pairings (tiny).  Mirrors the reference's scheme semantics exactly:
+pairings (tiny).  Every production commit is over a FIXED base set (the
+Lagrange SRS basis — the path the prover always takes,
+kzg_poly_commitment.rs:290), so commits ride the signed-window fixed-base
+table kernels (msm.fixed_base, VMEM-resident Pallas on TPU); the
+variable-base Pippenger (msm.msm) remains only as the coefficient-basis
+fallback for tiny dev SRS prefixes.  Mirrors the reference's scheme
+semantics exactly:
   - coefficient-basis commit over SRS powers (kzg_poly_commitment.rs:278-293);
   - Lagrange-basis commit + `apply_blind_factors` over the vanishing part
     (kzg_poly_commitment.rs:299-313), the path the prover always takes;
@@ -10,12 +16,14 @@ pairings (tiny).  Mirrors the reference's scheme semantics exactly:
   - `batch_verify_diff_points` single multi-pairing (kzg:373-423).
 """
 
+import os
 from typing import List, Optional
 
 import numpy as np
 import jax.numpy as jnp
 
 from ..constants.bn254 import R_MOD, Q_MOD
+from ..errors import DegreeError
 from ..ff.field import Fr
 from ..ff.jax_field import fr_ctx, L
 from ..curve.bn254 import g1_add, g1_mul, g1_neg, G2_GEN, g2_mul
@@ -23,6 +31,35 @@ from ..msm.msm import MSMBases, msm
 from ..ntt.ntt import get_domain
 from ..utils.transcript import Transcript
 from .pairing import multi_pairing_is_one
+
+
+def _fb_enabled(n: int) -> bool:
+    """Route Lagrange commits through the fixed-base table kernels.
+
+    Default: always on TPU (the production path); on CPU only for small test
+    domains (n <= 512) where the lax.scan table build is cheap — larger CPU
+    runs keep the variable-base Pippenger.  UZKGE_FB=0/1 overrides."""
+    env = os.environ.get("UZKGE_FB")
+    if env is not None:
+        return env not in ("0", "false", "no")
+    from ..ff.pallas_field import use_pallas
+
+    return use_pallas() or n <= 512
+
+
+def _fb_window(n: int) -> int:
+    """Window width c for the fixed-base table: biggest c whose table
+    (2^(c-1) * ceil(254/c) * n rows of 64 B) fits a ~1.5 GB HBM budget.
+    n = 4096 -> c = 8 (1.07 GB); n = 8192/16384 -> c = 4 (0.27/0.54 GB)."""
+    from ..ff.pallas_field import use_pallas
+
+    if not use_pallas():
+        return 4  # CPU scan build: favor the 8x smaller/faster table
+    for c in (8, 4):
+        rows = (1 << (c - 1)) * ((254 + c - 1) // c) * n
+        if rows * 64 <= 1.5e9:
+            return c
+    return 4
 
 
 class KZG:
@@ -65,11 +102,25 @@ class KZG:
 
     def set_lagrange(self, lagrange_bases: List):
         self._lagrange_points = lagrange_bases
-        self._lagrange = MSMBases(lagrange_bases)
+        self._lagrange_n = len(lagrange_bases)
+        self._lagrange = True  # device structures built lazily on first commit
+        self._lagrange_vb = None  # variable-base Pippenger bases
+        self._lagrange_fb = None  # fixed-base signed-window table
 
     @property
     def lagrange_n(self):
-        return self._lagrange.n if self._lagrange is not None else 0
+        return self._lagrange_n if self._lagrange is not None else 0
+
+    def lagrange_fb_table(self):
+        """Fixed-base table over the Lagrange basis (built once, reused for
+        every commit of every proof — kzg_poly_commitment.rs:290)."""
+        if self._lagrange_fb is None:
+            from ..msm.fixed_base import FixedBaseTable
+
+            self._lagrange_fb = FixedBaseTable(
+                self._lagrange_points, c=_fb_window(self._lagrange_n)
+            )
+        return self._lagrange_fb
 
     def _coef_msm_bases(self):
         if self._coef_bases is None:
@@ -80,7 +131,10 @@ class KZG:
 
     def commit_coefs(self, coefs: List[int]):
         """Coefficient-basis commit (host scalars)."""
-        assert len(coefs) <= self.max_contig, "degree exceeds contiguous SRS"
+        if len(coefs) > self.max_contig:
+            raise DegreeError(
+                f"degree {len(coefs) - 1} exceeds contiguous SRS prefix {self.max_contig - 1}"
+            )
         bases = self._coef_msm_bases()
         padded = list(coefs) + [0] * (bases.n - len(coefs))
         return msm(bases, padded)
@@ -89,7 +143,12 @@ class KZG:
         """Lagrange-basis commit of a batch: evals_dev (P, n, L) Montgomery
         limbs on device -> list of host affine points."""
         assert self._lagrange is not None
-        return msm(self._lagrange, evals_dev if evals_dev.ndim == 3 else evals_dev[None])
+        batch = evals_dev if evals_dev.ndim == 3 else evals_dev[None]
+        if _fb_enabled(self._lagrange_n):
+            return self.lagrange_fb_table().msm_mont(batch)
+        if self._lagrange_vb is None:
+            self._lagrange_vb = MSMBases(self._lagrange_points)
+        return msm(self._lagrange_vb, batch)
 
     def commit_evals(self, evals_dev):
         return self.commit_evals_batch(evals_dev[None] if evals_dev.ndim == 2 else evals_dev)[0]
@@ -139,7 +198,7 @@ class KZG:
             if i & (i - 1) == 0:
                 max_pow2 = i
                 break
-        if use_lagrange and self._lagrange is not None and max_pow2 == self._lagrange.n:
+        if use_lagrange and self._lagrange is not None and max_pow2 == self._lagrange_n:
             # commit the low part via Lagrange basis, shift the high
             # coefficients up with blind factors (reference pcs.rs:138-164)
             blinds = [

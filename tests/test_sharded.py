@@ -1,18 +1,10 @@
 """Multi-chip sharding correctness on the virtual CPU mesh (the driver's
-dryrun_multichip path).  Heavy-gated: compiles the sharded MSM/NTT kernels."""
-
-import os
+dryrun_multichip path).  Runs un-gated in the default suite: the sharded
+kernels compile as a handful of one-group-add scans."""
 
 import pytest
 
-heavy = pytest.mark.skipif(
-    not os.environ.get("UZKGE_HEAVY_TESTS"),
-    reason="sharded kernel compiles; opt in with UZKGE_HEAVY_TESTS=1",
-)
 
-
-@heavy
-@pytest.mark.slow
 def test_dryrun_multichip_8():
     import jax
 
@@ -23,8 +15,6 @@ def test_dryrun_multichip_8():
     assert dryrun_multichip(8)
 
 
-@heavy
-@pytest.mark.slow
 def test_dryrun_multichip_2():
     import jax
 
@@ -33,3 +23,30 @@ def test_dryrun_multichip_2():
     from uzkge_tpu.parallel.sharded import dryrun_multichip
 
     assert dryrun_multichip(2)
+
+
+def test_sharded_ntt_matches_domain():
+    """Four-step all_to_all NTT vs the single-device domain at a size with
+    n2 > devices (exercises the chunked exchange), incl. inverse + coset."""
+    import random
+
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    from uzkge_tpu.constants.bn254 import R_MOD
+    from uzkge_tpu.ff.jax_field import fr_ctx
+    from uzkge_tpu.ntt.ntt import get_domain
+    from uzkge_tpu.parallel.sharded import ShardedNTT, make_mesh
+
+    mesh = make_mesh(4)
+    n = 64
+    sntt = ShardedNTT(n, mesh)
+    dom = get_domain(n)
+    rng = random.Random(5)
+    dev = fr_ctx.to_mont_limbs([rng.randrange(R_MOD) for _ in range(n)])
+    assert fr_ctx.from_mont_limbs(sntt.fft(dev)) == fr_ctx.from_mont_limbs(dom.fft(dev))
+    assert fr_ctx.from_mont_limbs(sntt.ifft(dev)) == fr_ctx.from_mont_limbs(dom.ifft(dev))
+    assert fr_ctx.from_mont_limbs(sntt.coset_fft(dev, 9)) == fr_ctx.from_mont_limbs(
+        dom.coset_fft(dev, 9)
+    )

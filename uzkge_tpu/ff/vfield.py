@@ -14,7 +14,7 @@ are unrolled (static row indexing, no dynamic_slice), which also removes the
 fori_loop dispatch overhead.  Measured ~10x over the horizontal kernels.
 
 Everything here is pure jnp and jit-friendly; these are the kernels under
-the MSM tree (msm/fixed_base.py) and the MXU NTT (ntt/mxu_ntt.py).
+the MSM tree (msm/fixed_base.py) and the Stockham NTT core (ntt/stockham.py).
 
 Reference semantics: ark-ff 64-bit Montgomery backend (the reference uses it
 via `Fr`/`Fq`, e.g. uzkge/src/plonk/helpers.rs); values match `MontCtx`
@@ -48,11 +48,18 @@ def _shift_up(x, d):
 
 
 class VMontCtx:
-    """Montgomery context with vertical (limb-major) layout kernels."""
+    """Montgomery context with vertical (limb-major) layout kernels.
 
-    def __init__(self, hctx: MontCtx):
+    compact=True trades the unrolled CIOS (fast, but ~250 HLO ops per mul —
+    graphs with ~100 inline muls take minutes to compile on XLA:CPU) for a
+    lax.fori_loop over the 16 iterations (~15-op body): the variant for
+    compile-time-critical paths like the sharded MSM/dryrun, where runtime
+    is dominated by data movement anyway."""
+
+    def __init__(self, hctx: MontCtx, compact: bool = False):
         self.h = hctx
         self.p = hctx.p
+        self.compact = compact
         self.n0inv = np.uint32(hctx.n0inv)
         self._p_np = int_to_limbs_np(hctx.p)
         self._one_np = int_to_limbs_np(1)
@@ -123,17 +130,18 @@ class VMontCtx:
         return self.add(a, a)
 
     def mul(self, a, b):
-        """Delayed-carry CIOS Montgomery mul, unrolled.  Same overflow
-        analysis as jax_field.MontCtx.mul: uint32 accumulator lanes grow by
-        <= 4*(2^16-1) per iteration over 16 iterations, staying < 2^22."""
+        """Delayed-carry CIOS Montgomery mul (unrolled, or a fori_loop when
+        compact).  Same overflow analysis as jax_field.MontCtx.mul: uint32
+        accumulator lanes grow by <= 4*(2^16-1) per iteration over 16
+        iterations, staying < 2^22."""
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         a = jnp.broadcast_to(a, shape)
         b = jnp.broadcast_to(b, shape)
         zrow = jnp.zeros((1,) + shape[1:], dtype=jnp.uint32)
         p_arr = self.p_arr(a.ndim)
-        t = jnp.zeros((L + 1,) + shape[1:], dtype=jnp.uint32)
-        for i in range(L):
-            prod = a * b[i]
+
+        def step(t, bi):
+            prod = a * bi
             t = t + jnp.concatenate([prod & MASK, zrow], axis=0) \
                   + jnp.concatenate([zrow, prod >> BITS], axis=0)
             m = ((t[0] & MASK) * self.n0inv) & MASK
@@ -141,7 +149,16 @@ class VMontCtx:
             t = t + jnp.concatenate([mp & MASK, zrow], axis=0) \
                   + jnp.concatenate([zrow, mp >> BITS], axis=0)
             carry0 = t[0] >> BITS
-            t = jnp.concatenate([(t[1] + carry0)[None], t[2:], zrow], axis=0)
+            return jnp.concatenate([(t[1] + carry0)[None], t[2:], zrow], axis=0)
+
+        t = jnp.zeros((L + 1,) + shape[1:], dtype=jnp.uint32)
+        if self.compact:
+            t = jax.lax.fori_loop(
+                0, L, lambda i, t: step(t, jax.lax.dynamic_index_in_dim(b, i, 0)), t
+            )
+        else:
+            for i in range(L):
+                t = step(t, b[i])
         t = t[:L]
         t = (t & MASK) + _shift_up(t >> BITS, 1)
         out, _ = self._ks_normalize(t)
@@ -252,3 +269,6 @@ from .jax_field import fr_ctx, fq_ctx  # noqa: E402
 
 vfr = VMontCtx(fr_ctx)
 vfq = VMontCtx(fq_ctx)
+# compile-time-critical variants (sharded MSM, multichip dryrun)
+vfr_c = VMontCtx(fr_ctx, compact=True)
+vfq_c = VMontCtx(fq_ctx, compact=True)

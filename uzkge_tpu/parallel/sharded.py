@@ -4,13 +4,20 @@ shard_map; collectives ride ICI).
 The reference is single-host rayon (SURVEY.md section 2.5) — these axes are
 new, TPU-native design:
 
-  * MSM: points are sharded across the mesh ('pts' axis); each chip runs the
-    full Pippenger bucket pipeline on its slice, then the per-window
-    projective sums are all_gather'd and folded with complete additions
-    (point addition is not a psum — it needs the curve group law);
-  * NTT: classic four-step decomposition n = n1*n2 — local column FFTs,
-    twiddle scaling, all_to_all transpose across the mesh, local row FFTs;
-  * proof batches: vmap/pjit over a 'dp' axis (many proofs at once).
+  * MSM: the point/scalar arrays are sharded across the mesh ('pts' axis);
+    each chip runs the fixed-base chain MSM (msm/fixed_base.msm_chain —
+    signed windows over an on-the-fly doubling chain, scan-reduction leaves)
+    on its slice; the per-device projective sums are all_gather'd and folded
+    with a log-tree of complete additions (point addition is not a psum —
+    it needs the curve group law).  Every kernel compiles as a handful of
+    one-group-add scans, so the path is cheap to build on any backend;
+  * NTT: classic four-step decomposition n = n1*n2 over n1 = mesh devices:
+    local size-n2 DFTs on strided rows, twiddle scale, one all_to_all
+    (the only cross-device traffic: n/ndev elements per device), local
+    size-n1 DFTs as an unrolled matrix combine.  Forward, inverse and coset
+    variants — the same surface as ntt.NTTDomain;
+  * proof batches: the scalar batch axis P rides through every kernel, so
+    many proofs' commitments shard together (BASELINE config 5).
 """
 
 from functools import partial
@@ -19,13 +26,14 @@ from typing import List
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as Pspec
 from jax.experimental.shard_map import shard_map
 
 from ..constants.bn254 import R_MOD
 from ..ff.field import Fr
 from ..ff.jax_field import fr_ctx, fq_ctx, L
-from ..msm import msm as msm_mod
+from ..ff.vfield import vfq_c as vfq  # compact muls: compile-bound path
+from ..msm.fixed_base import msm_chain, padd_g, _extract_host
 from ..ntt.ntt import get_domain
 
 
@@ -38,57 +46,65 @@ def make_mesh(n_devices: int = None, axis: str = "pts") -> Mesh:
 # ------------------------------------------------------------- sharded MSM
 
 
-def sharded_msm_window_sums(mesh: Mesh, px, py, scalars_mont, chunks_per_dev: int):
-    """Shard the point/scalar arrays over the mesh 'pts' axis; each device
-    accumulates its Pippenger buckets; gather + fold window sums.
+def _fold_device_sums(stacked):
+    """(ndev, 3, L, P) projective partial sums -> (3, L, P) via a log tree
+    of complete projective additions."""
+    X = jnp.moveaxis(stacked[:, 0], 0, 1)  # (L, ndev, P)
+    Y = jnp.moveaxis(stacked[:, 1], 0, 1)
+    Z = jnp.moveaxis(stacked[:, 2], 0, 1)
+    k = X.shape[1]
+    while k > 1:
+        h = k // 2
+        X2, Y2, Z2 = padd_g(
+            vfq,
+            (X[:, 0:h], Y[:, 0:h], Z[:, 0:h]),
+            (X[:, h : 2 * h], Y[:, h : 2 * h], Z[:, h : 2 * h]),
+        )
+        if k % 2:
+            X = jnp.concatenate([X2, X[:, 2 * h :]], axis=1)
+            Y = jnp.concatenate([Y2, Y[:, 2 * h :]], axis=1)
+            Z = jnp.concatenate([Z2, Z[:, 2 * h :]], axis=1)
+            k = h + 1
+        else:
+            X, Y, Z = X2, Y2, Z2
+            k = h
+    return jnp.stack([X[:, 0], Y[:, 0], Z[:, 0]])
 
-    px, py: (n, L); scalars_mont: (Pb, n, L).  Returns (Pb, W, 3, L) projective
-    window sums (replicated)."""
-    ndev = mesh.devices.size
 
-    def local(px_s, py_s, sc_s):
-        wsums = msm_mod._msm_device(px_s, py_s, sc_s, chunks_per_dev)  # (Pb, W, 3, L)
-        all_w = jax.lax.all_gather(wsums, "pts")  # (ndev, Pb, W, 3, L)
-        # fold over the device axis with complete projective additions
-        k = all_w.shape[0]
-        X, Y, Z = all_w[:, :, :, 0], all_w[:, :, :, 1], all_w[:, :, :, 2]
-        while k > 1:
-            h = k // 2
-            X2, Y2, Z2 = msm_mod._padd(
-                fq_ctx, X[:h], Y[:h], Z[:h], X[h : 2 * h], Y[h : 2 * h], Z[h : 2 * h]
-            )
-            if k % 2:
-                X = jnp.concatenate([X2, X[2 * h :]], axis=0)
-                Y = jnp.concatenate([Y2, Y[2 * h :]], axis=0)
-                Z = jnp.concatenate([Z2, Z[2 * h :]], axis=0)
-                k = h + 1
-            else:
-                X, Y, Z = X2, Y2, Z2
-                k = h
-        return jnp.stack([X[0], Y[0], Z[0]], axis=2)
+def sharded_msm_device_sums(mesh: Mesh, x_v, y_v, scalars_mont):
+    """x_v, y_v: (L, n) affine Fq Montgomery; scalars_mont: (P, n, L).
+    Points sharded over 'pts'; returns (3, L, P) projective sums
+    (replicated)."""
 
-    f = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P("pts"), P("pts"), P(None, "pts")),
-        out_specs=P(),
-        check_rep=False,
+    def local(x_s, y_s, sc_s):
+        X, Y, Z = msm_chain(x_s, y_s, sc_s)  # (L, P) each
+        allp = jax.lax.all_gather(jnp.stack([X, Y, Z]), "pts")  # (ndev, 3, L, P)
+        return _fold_device_sums(allp)
+
+    f = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(Pspec(None, "pts"), Pspec(None, "pts"), Pspec(None, "pts", None)),
+            out_specs=Pspec(),
+            check_rep=False,
+        )
     )
-    return f(px, py, scalars_mont)
+    return f(x_v, y_v, scalars_mont)
 
 
-def sharded_msm(mesh: Mesh, bases: msm_mod.MSMBases, scalars: List[List[int]]):
-    """Full sharded MSM returning host affine points (one per scalar row)."""
+def sharded_msm(mesh: Mesh, points: List, scalars: List[List[int]]):
+    """Full sharded MSM returning host affine points (one per scalar row).
+    len(points) must be divisible by the mesh size with a power-of-two
+    per-device slice."""
     rows = scalars if scalars and isinstance(scalars[0], (list, tuple)) else [scalars]
-    flat = [s for row in rows for s in row]
-    sc = fr_ctx.to_mont_limbs(flat).reshape(len(rows), bases.n, L)
-    ndev = mesh.devices.size
-    local_n = bases.n // ndev
-    chunks_per_dev = max(1, min(local_n // 64, 32))
-    while local_n % chunks_per_dev:
-        chunks_per_dev -= 1
-    wsums = sharded_msm_window_sums(mesh, bases.x, bases.y, sc, chunks_per_dev)
-    pts = msm_mod._window_sums_to_points(np.asarray(jax.device_get(wsums)))
+    n = len(points)
+    flat = [s % R_MOD for row in rows for s in row]
+    sc = fr_ctx.to_mont_limbs(flat).reshape(len(rows), n, L)
+    x_v = jnp.moveaxis(fq_ctx.to_mont_limbs([p[0] for p in points]).reshape(n, L), -1, 0)
+    y_v = jnp.moveaxis(fq_ctx.to_mont_limbs([p[1] for p in points]).reshape(n, L), -1, 0)
+    S3 = sharded_msm_device_sums(mesh, x_v, y_v, sc)
+    pts = _extract_host(S3[0], S3[1], S3[2], len(rows))
     return pts if len(rows) > 1 else pts[0]
 
 
@@ -96,68 +112,116 @@ def sharded_msm(mesh: Mesh, bases: msm_mod.MSMBases, scalars: List[List[int]]):
 
 
 class ShardedNTT:
-    """Four-step NTT of size n = n1 * n2 over a mesh axis of n1-way
-    parallelism: evals = DFT_n(x) computed as
-      1. view x as (n1, n2) with x[i1, i2] = coeff[i2 * n1 + i1]
-      2. column DFTs (size n1 -> here: local after transpose sharding)
-      3. twiddle w_n^{i1 * i2}
-      4. row DFTs (size n2)
-    Output element (i1, i2) = X[i1 * n2 + i2].
-    """
+    """Four-step NTT of size n = n1 * n2 (n1 = mesh size) with one
+    all_to_all as the only cross-device exchange:
+
+      X[k2 + n2*k1] = sum_{j1<n1} w^{j1 k2} W1^{j1 k1}
+                         [ sum_{j2<n2} x[j1 + n1*j2] W2^{j2 k2} ]
+
+    (W1 = w^{n2} the size-n1 root, W2 = w^{n1} the size-n2 root).  Each
+    device j1 holds the strided row x[j1::n1]: local size-n2 DFT, twiddle by
+    w^{j1 k2}, all_to_all redistributes k2-chunks, then the size-n1 column
+    DFT is an unrolled n1 x n1 matrix combine (n1 = #devices is small).
+    The inverse transform runs the same data flow over w^-1 with 1/n2
+    folded into the local DFT and 1/n1 into the combine matrix."""
 
     def __init__(self, n: int, mesh: Mesh):
         self.n = n
         self.mesh = mesh
         self.ndev = mesh.devices.size
         self.n1 = self.ndev
-        assert n % self.n1 == 0
+        assert n % self.n1 == 0 and (n // self.n1) % self.n1 == 0, \
+            "need n2 divisible by the mesh size for the all_to_all chunking"
         self.n2 = n // self.n1
-        self.dom1 = get_domain(self.n1)
         self.dom2 = get_domain(self.n2)
+        p = R_MOD
         w = Fr.root_of_unity(n)
-        # twiddle matrix w^(i1*i2), shape (n1, n2)
-        tw = np.empty((self.n1, self.n2), dtype=object)
-        for i1 in range(self.n1):
-            base = pow(w, i1, R_MOD)
-            cur = 1
-            for i2 in range(self.n2):
-                tw[i1, i2] = cur
-                cur = cur * base % R_MOD
-        self.tw = fr_ctx.to_mont_limbs([int(v) for v in tw.reshape(-1)]).reshape(
-            self.n1, self.n2, L
+        w_inv = pow(w, p - 2, p)
+        n1_inv = pow(self.n1, p - 2, p)
+
+        def twiddle(base):
+            tw = []
+            for j1 in range(self.n1):
+                row_base = pow(base, j1, p)
+                cur = 1
+                for _ in range(self.n2):
+                    tw.append(cur)
+                    cur = cur * row_base % p
+            return fr_ctx.to_mont_limbs(tw).reshape(self.n1, self.n2, L)
+
+        self.tw_fwd = twiddle(w)
+        self.tw_inv = twiddle(w_inv)
+
+        def combine(base, scale):
+            m = [
+                pow(base, (j1 * k1) % n, p) * scale % p
+                for j1 in range(self.n1)
+                for k1 in range(self.n1)
+            ]
+            return fr_ctx.to_mont_limbs(m).reshape(self.n1, self.n1, L)
+
+        self.W1_fwd = combine(pow(w, self.n2, p), 1)
+        self.W1_inv = combine(pow(w_inv, self.n2, p), n1_inv)
+
+        self._fwd = self._build(inverse=False)
+        self._inv = self._build(inverse=True)
+
+    def _build(self, inverse: bool):
+        n1, n2, ndev = self.n1, self.n2, self.ndev
+        dom2 = self.dom2
+
+        def local(rows, tw_rows, W1):
+            a = dom2._core(rows[0], inverse)  # (n2, L)
+            a = fr_ctx.mul(a, tw_rows[0])
+            a = a.reshape(ndev, n2 // ndev, L)
+            a = jax.lax.all_to_all(a, "pts", split_axis=0, concat_axis=0)
+            # size-n1 column DFT: out[k1] = sum_j1 W1[j1,k1] * a[j1]
+            prod = fr_ctx.mul(W1[:, :, None, :], a[:, None, :, :])  # (j1, k1, m, L)
+            k = n1
+            while k > 1:
+                h = k // 2
+                prod = fr_ctx.add(prod[0:h], prod[h : 2 * h]) if k % 2 == 0 else \
+                    jnp.concatenate(
+                        [fr_ctx.add(prod[0:h], prod[h : 2 * h]), prod[2 * h :]], axis=0
+                    )
+                k = (k + 1) // 2
+            return prod[0]  # (k1, m, L)
+
+        return jax.jit(
+            shard_map(
+                local,
+                mesh=self.mesh,
+                in_specs=(Pspec("pts"), Pspec("pts"), Pspec()),
+                out_specs=Pspec(None, "pts"),
+                check_rep=False,
+            )
         )
+
+    def _run(self, data, inverse: bool):
+        n1, n2 = self.n1, self.n2
+        xmat = data.reshape(n2, n1, L).transpose(1, 0, 2)  # [j1, j2] = x[j1 + n1*j2]
+        tw = self.tw_inv if inverse else self.tw_fwd
+        W1 = self.W1_inv if inverse else self.W1_fwd
+        out = (self._inv if inverse else self._fwd)(xmat, tw, W1)  # (k1, k2, L)
+        return out.reshape(self.n, L)  # index k2 + n2*k1 ... = row-major (k1, k2)
 
     def fft(self, coeffs):
-        """coeffs (n, L) -> evals (n, L), sharded over the mesh."""
-        n1, n2 = self.n1, self.n2
+        """coeffs (n, L) Montgomery -> evaluations (n, L)."""
+        return self._run(coeffs, inverse=False)
 
-        # step 1: columns-major view: rows i1 hold coeffs i2*n1 + i1
-        x = coeffs.reshape(n2, n1, L).transpose(1, 0, 2)  # (n1, n2, L)
+    def ifft(self, evals):
+        """evaluations (n, L) -> coefficients (n, L)."""
+        return self._run(evals, inverse=True)
 
-        def local(rows, tw_rows):
-            # rows: (1, n2, L) on each device — this device's i1 slice is
-            # produced by the size-n1 column DFTs, which need cross-device
-            # data: do them via all_gather (n1 is small = #devices).
-            gathered = jax.lax.all_gather(rows, "pts")  # (n1, 1, n2, L)
-            cols = gathered[:, 0]  # (n1, n2, L)
-            # column DFT (size n1) for every i2 — vmapped over n2
-            col_out = jax.vmap(self.dom1._core, in_axes=(1, None), out_axes=1)(cols, False)
-            i1 = jax.lax.axis_index("pts")
-            mine = jax.lax.dynamic_slice_in_dim(col_out, i1, 1, axis=0)  # (1, n2, L)
-            # twiddle + row DFT (size n2)
-            mine = fr_ctx.mul(mine[0], tw_rows[0])
-            out = self.dom2._core(mine, False)
-            return out[None]
+    def coset_fft(self, coeffs, k: int):
+        dom = get_domain(self.n)
+        return self.fft(fr_ctx.mul(coeffs, dom.power_ladder(k)))
 
-        f = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P("pts"), P("pts")),
-            out_specs=P("pts"),
-            check_rep=False,
-        )
-        out = f(x, self.tw)  # (n1, n2, L): out[i1, i2] = X[i1*n2 + i2]
-        return out.reshape(self.n, L)
+    def coset_ifft(self, evals, k: int):
+        dom = get_domain(self.n)
+        coeffs = self.ifft(evals)
+        k_inv = pow(k, R_MOD - 2, R_MOD)
+        return fr_ctx.mul(coeffs, dom.power_ladder(k_inv))
 
 
 # --------------------------------------------------------------- dry run
@@ -165,8 +229,9 @@ class ShardedNTT:
 
 def dryrun_multichip(n_devices: int):
     """Compile + execute the sharded proving kernels on an n_devices mesh
-    with tiny shapes: sharded Pippenger MSM (points axis + batch axis) and a
-    four-step sharded NTT, cross-checked against host math."""
+    with tiny shapes: the fixed-base-chain sharded MSM (point axis + proof
+    batch axis) and the four-step all_to_all NTT (forward, inverse, coset),
+    cross-checked against host math."""
     import random
 
     from ..curve.bn254 import G1_GEN, g1_mul, g1_msm
@@ -177,19 +242,24 @@ def dryrun_multichip(n_devices: int):
     # ---- sharded MSM over a batch of scalar vectors (dp x pts)
     n_pts = 8 * n_devices
     pts = [g1_mul(G1_GEN, rng.randrange(1, R_MOD)) for _ in range(n_pts)]
-    bases = msm_mod.MSMBases(pts)
     rows = [[rng.randrange(R_MOD) for _ in range(n_pts)] for _ in range(2)]
-    got = sharded_msm(mesh, bases, rows)
+    got = sharded_msm(mesh, pts, rows)
     for row, g in zip(rows, got):
         assert g == g1_msm(pts, row), "sharded MSM mismatch"
 
-    # ---- sharded four-step NTT
-    n = 16 * n_devices if (16 * n_devices) & (16 * n_devices - 1) == 0 else 16 * n_devices
-    # round n up to a power of two multiple of n_devices
+    # ---- sharded four-step NTT: forward, inverse roundtrip, coset
+    n = max(16 * n_devices, n_devices * n_devices)
     n = 1 << (n - 1).bit_length()
     sntt = ShardedNTT(n, mesh)
+    dom = get_domain(n)
     coefs = [rng.randrange(R_MOD) for _ in range(n)]
-    ev = sntt.fft(fr_ctx.to_mont_limbs(coefs))
-    ref = get_domain(n).fft(fr_ctx.to_mont_limbs(coefs))
-    assert fr_ctx.from_mont_limbs(ev) == fr_ctx.from_mont_limbs(ref), "sharded NTT mismatch"
+    dev = fr_ctx.to_mont_limbs(coefs)
+    ev = sntt.fft(dev)
+    assert fr_ctx.from_mont_limbs(ev) == fr_ctx.from_mont_limbs(dom.fft(dev)), \
+        "sharded NTT mismatch"
+    back = sntt.ifft(ev)
+    assert fr_ctx.from_mont_limbs(back) == coefs, "sharded iNTT roundtrip mismatch"
+    cev = sntt.coset_fft(dev, 7)
+    assert fr_ctx.from_mont_limbs(cev) == fr_ctx.from_mont_limbs(dom.coset_fft(dev, 7)), \
+        "sharded coset NTT mismatch"
     return True

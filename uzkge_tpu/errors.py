@@ -3,10 +3,13 @@
 
 The reference propagates a single error enum through `Result`; here the
 equivalent is an exception hierarchy rooted at `UzkgeError` so callers can
-catch the whole family or a specific class.  Verification failures are
-returned as booleans (like the reference's `Result<(), VerificationError>`
-collapsed at the SDK layer); errors below are for malformed inputs, missing
-parameters, and internal invariant violations.
+catch the whole family or a specific class.  Every class below is raised by
+the framework (see tests/test_errors.py); reference enum variants whose
+failure mode cannot occur in this design are intentionally NOT mirrored as
+dead classes — verification failures are returned as booleans (like the
+reference's SDK layer collapsing `Result<(), VerificationError>`), and
+trace-time shape/typing violations surface as Python TypeError/AssertionError
+during circuit construction.
 """
 
 
@@ -14,80 +17,41 @@ class UzkgeError(Exception):
     """Base class for all framework errors."""
 
 
-class SerializationError(UzkgeError):
-    """Could not serialize object."""
-
-
 class DeserializationError(UzkgeError):
-    """Could not deserialize object."""
+    """Could not deserialize object (reference: `DeserializationError`)."""
 
 
 class ParameterError(UzkgeError):
-    """Unexpected parameter for method or function."""
+    """Unexpected parameter for method or function (reference:
+    `ParameterError`)."""
 
 
 class MissingVerifierParamsError(UzkgeError):
-    """Loading verifier parameters that are not embedded."""
+    """Loading verifier parameters that are not embedded (reference:
+    `MissingVerifierParamsError`)."""
 
 
 class MissingSRSError(UzkgeError):
-    """No SRS available for proof generation."""
-
-
-class VerifierParamsError(UzkgeError):
-    """Could not preprocess verifier."""
-
-
-class PCSProveEvalError(UzkgeError):
-    """Cannot compute the opening proof (sumcheck failed)."""
+    """No SRS available for the requested size (reference:
+    `MissingSRSError`)."""
 
 
 class DegreeError(UzkgeError):
-    """Polynomial degree above the maximum supported by the SRS."""
-
-
-class SelectorIndexOutOfBound(UzkgeError):
-    """Querying a selector that does not exist."""
-
-
-class ChallengeError(UzkgeError):
-    """Invalid Fiat-Shamir challenge."""
-
-
-class SetupError(UzkgeError):
-    """Setup error."""
+    """Polynomial degree above the maximum supported by the SRS
+    (reference: `DegreeError`)."""
 
 
 class GroupNotFound(UzkgeError):
-    """No evaluation domain of the requested size."""
+    """No evaluation domain of the requested size (reference:
+    `GroupNotFound(usize)`)."""
 
     def __init__(self, size: int):
         super().__init__(f"group not found of size {size}")
         self.size = size
 
 
-class DivisionByZero(UzkgeError):
-    """Division by zero in polynomial arithmetic."""
-
-
-class CommitmentError(UzkgeError):
-    """Commitment error."""
-
-
-class FFTError(UzkgeError):
-    """FFT error."""
-
-
-class FuncParamsError(UzkgeError):
-    """Function params error."""
-
-
 class ProofError(UzkgeError):
-    """Malformed or inconsistent proof."""
-
-
-class VerificationError(UzkgeError):
-    """Proof verification failed (only raised where the reference does)."""
+    """Malformed or inconsistent proof bytes."""
 
 
 class DanglingWitnessError(UzkgeError):

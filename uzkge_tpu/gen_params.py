@@ -9,6 +9,7 @@ import os
 from functools import lru_cache
 
 from .constants.bn254 import R_MOD
+from .errors import MissingSRSError, MissingVerifierParamsError
 from .pcs.kzg import KZG
 from .plonk.indexer import VerifierParams
 from .utils import serialize as ser
@@ -21,10 +22,17 @@ def _read(name: str) -> bytes:
         return f.read()
 
 
+def _read_required(name: str, err_cls) -> bytes:
+    path = os.path.join(PARAMS_DIR, name)
+    if not os.path.exists(path):
+        raise err_cls(f"embedded parameter file {name} not found")
+    return _read(name)
+
+
 @lru_cache(maxsize=4)
 def load_srs(size: int) -> KZG:
     """Padded SRS + Lagrange bases for circuit size n (gen_params/mod.rs:144-183)."""
-    g1, g2 = ser.load_srs_params(size, _read("srs-padding.bin"))
+    g1, g2 = ser.load_srs_params(size, _read_required("srs-padding.bin", MissingSRSError))
     kzg = KZG(g1, g2)
     lag_name = f"lagrange-srs-{size}.bin"
     if os.path.exists(os.path.join(PARAMS_DIR, lag_name)):
@@ -58,7 +66,8 @@ def _vk_from_parsed(parsed: dict, with_shuffle: bool) -> VerifierParams:
 def load_shuffle_verifier_params(n_cards: int) -> VerifierParams:
     """Embedded shuffle vk for n_cards in {48, 52, 54}
     (shuffle/src/gen_params/mod.rs:6-31)."""
-    parsed = ser.parse_verifier_params_specific(_read(f"vk-specific-{n_cards}.bin"))
+    parsed = ser.parse_verifier_params_specific(
+        _read_required(f"vk-specific-{n_cards}.bin", MissingVerifierParamsError))
     return _vk_from_parsed(parsed, with_shuffle=True)
 
 

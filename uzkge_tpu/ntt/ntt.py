@@ -5,12 +5,12 @@ evaluations at [w^0 .. w^{n-1}], root derived from the field's 2-adic root —
 reference uzkge/src/poly_commit/field_polynomial.rs:552-607), implemented
 TPU-first:
 
-  * decimation-in-time as a `lax.scan` over log2(n) stages; each stage is a
-    gather-pair butterfly  out[i] = x[lo[i]] + tw[i] * x[hi[i]]  where the
-    per-stage signed twiddle (negation folded in via w^{n/2} = -1) comes from
-    one master power table — so the traced graph is one Montgomery mul + add
-    plus three gathers, *independent of n*;
-  * all data stays in the Montgomery limb layout of uzkge_tpu.ff.jax_field;
+  * the butterfly core is the gather-free Stockham autosort kernel
+    (ntt/stockham.py): log2(n) unrolled stages of one whole-array Montgomery
+    mul + add/sub in the vertical limb layout (ff.vfield) — no index
+    gathers, so the VPU lanes stay full and the graph compiles in seconds;
+  * the external API keeps the horizontal (n, L) Montgomery layout of
+    ff.jax_field, converted at the kernel boundary (one transpose each way);
   * coset FFTs scale coefficients by k^j (precomputed power ladders), which
     is how the reference does `coset_fft_with_domain` via `mul_var`
     (field_polynomial.rs:589-607).
@@ -27,24 +27,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..errors import GroupNotFound
 from ..ff.field import Fr
 from ..ff.jax_field import MontCtx, fr_ctx, L
-
-
-def _bit_reverse_indices(n: int) -> np.ndarray:
-    k = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.uint32)
-    rev = np.zeros(n, dtype=np.uint32)
-    for b in range(k):
-        rev |= ((idx >> b) & 1) << (k - 1 - b)
-    return rev.astype(np.int32)
 
 
 class NTTDomain:
     """A size-n radix-2 evaluation domain with device-resident tables."""
 
     def __init__(self, n: int, ctx: MontCtx = fr_ctx):
-        assert n & (n - 1) == 0 and n > 0
+        if n <= 0 or n & (n - 1) or n.bit_length() - 1 > Fr.two_adicity:
+            raise GroupNotFound(n)
         self.n = n
         self.ctx = ctx
         self.log_n = max(n.bit_length() - 1, 1)
@@ -52,7 +45,6 @@ class NTTDomain:
         self.omega = Fr.root_of_unity(n) if n > 1 else 1
         self.omega_inv = pow(self.omega, p - 2, p)
         self.n_inv = pow(n, p - 2, p)
-        self.bitrev = jnp.asarray(_bit_reverse_indices(n))
 
         # master power table: omega^j for j in [0, n)
         pows = [1]
@@ -61,25 +53,12 @@ class NTTDomain:
         self._pows_int = pows
         self.master = ctx.to_mont_limbs(pows).reshape(n, L)
 
-        # per-stage butterfly tables (stacked for lax.scan)
-        k = self.log_n
-        lo_t = np.zeros((k, n), dtype=np.int32)
-        hi_t = np.zeros((k, n), dtype=np.int32)
-        twe_t = np.zeros((k, n), dtype=np.int32)
-        i = np.arange(n, dtype=np.int64)
-        for s in range(1, k + 1):
-            half = 1 << (s - 1)
-            pos = i & ((1 << s) - 1)
-            j = pos & (half - 1)
-            is_hi = (pos >= half).astype(np.int64)
-            lo = ((i >> s) << s) | j
-            lo_t[s - 1] = lo
-            hi_t[s - 1] = lo | half
-            twe_t[s - 1] = (n >> s) * j + is_hi * (n >> 1)
-        self.lo_t = jnp.asarray(lo_t)
-        self.hi_t = jnp.asarray(hi_t)
-        self.twe_fwd = jnp.asarray(twe_t)
-        self.twe_inv = jnp.asarray((n - twe_t) % n)
+        # per-stage Stockham twiddle tables (forward + inverse)
+        from .stockham import stage_twiddles
+
+        if n > 1:
+            self._tws_fwd = stage_twiddles(self.master, n, inverse=False)
+            self._tws_inv = stage_twiddles(self.master, n, inverse=True)
         self.n_inv_arr = ctx.to_mont_limbs(self.n_inv)
 
         self._fft_jit = jax.jit(partial(self._core, inverse=False))
@@ -93,16 +72,11 @@ class NTTDomain:
         ctx = self.ctx
         if self.n == 1:
             return x
-        twe = self.twe_inv if inverse else self.twe_fwd
+        from .stockham import stockham_fft_v
 
-        def body(acc, tables):
-            lo, hi, te = tables
-            u = acc[lo]
-            tw = self.master[te]
-            v = ctx.mul(acc[hi], tw)
-            return ctx.add(u, v), None
-
-        x, _ = jax.lax.scan(body, x[self.bitrev], (self.lo_t, self.hi_t, twe))
+        xv = jnp.moveaxis(x, -1, 0)  # (L, n) vertical
+        out = stockham_fft_v(xv, self._tws_inv if inverse else self._tws_fwd)
+        x = jnp.moveaxis(out, 0, -1)
         if inverse:
             x = ctx.mul(x, jnp.broadcast_to(self.n_inv_arr, x.shape))
         return x

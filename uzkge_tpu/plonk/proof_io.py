@@ -8,6 +8,7 @@ generic (non-shuffle) = 12 points + 15 scalars = 1248 bytes.
 
 from typing import List
 
+from ..errors import ProofError
 from ..utils.serialize import point_to_uncompress_be, g1_from_uncompress_be, scalar_to_bytes_be, scalar_from_bytes_be
 
 
@@ -40,6 +41,9 @@ def proof_to_bytes_be(proof: dict, with_shuffle: bool = True) -> bytes:
 
 
 def proof_from_bytes_be(data: bytes, with_shuffle: bool = True) -> dict:
+    want = 1632 if with_shuffle else 1248
+    if len(data) != want:
+        raise ProofError(f"proof must be {want} bytes, got {len(data)}")
     n_wire = 5
     n_sel = 3
     pos = 0

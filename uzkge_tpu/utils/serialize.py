@@ -10,6 +10,7 @@ Covers:
     (uzkge/src/gen_params/mod.rs, shuffle/src/gen_params/mod.rs).
 """
 
+from ..errors import DeserializationError, MissingSRSError
 from ..constants.bn254 import Q_MOD, R_MOD
 from ..ff.field import Fq
 
@@ -40,17 +41,20 @@ def point_to_uncompress_be(p) -> bytes:
 
 def g1_from_uncompress_be(b: bytes):
     """BE x || y -> affine G1 point (None for the all-zero encoding)."""
-    assert len(b) == 64
+    if len(b) != 64:
+        raise DeserializationError(f"G1 uncompressed needs 64 bytes, got {len(b)}")
     x = int.from_bytes(b[:32], "big")
     y = int.from_bytes(b[32:], "big")
     if x == 0 and y == 0:
         return None
-    assert (y * y - x * x * x - 3) % Q_MOD == 0, "point not on BN254 G1"
+    if (y * y - x * x * x - 3) % Q_MOD != 0:
+        raise DeserializationError("point not on BN254 G1")
     return (x, y)
 
 
 def edwards_from_uncompress_be(b: bytes):
-    assert len(b) == 64
+    if len(b) != 64:
+        raise DeserializationError(f"point needs 64 bytes, got {len(b)}")
     x = int.from_bytes(b[:32], "big")
     y = int.from_bytes(b[32:], "big")
     return (x, y)
@@ -63,7 +67,8 @@ def edwards_from_uncompress_be(b: bytes):
 
 def ark_g1_uncompressed_read(b: bytes):
     """64 bytes: x LE32 || y LE32 with infinity flag in bit 6 of byte 63."""
-    assert len(b) == 64
+    if len(b) != 64:
+        raise DeserializationError("ark G1 uncompressed needs 64 bytes")
     x = int.from_bytes(b[:32], "little")
     ytop = b[63]
     infinity = bool(ytop & _INF_FLAG)
@@ -88,7 +93,8 @@ def ark_g1_uncompressed_write(p) -> bytes:
 
 def ark_g1_compressed_read(b: bytes):
     """32 bytes: x LE with flags (bit7: y 'negative' i.e. y > -y; bit6: inf)."""
-    assert len(b) == 32
+    if len(b) != 32:
+        raise DeserializationError("ark G1 compressed needs 32 bytes")
     top = b[31]
     infinity = bool(top & _INF_FLAG)
     negative = bool(top & _NEG_FLAG)
@@ -119,7 +125,8 @@ def ark_g1_compressed_write(p) -> bytes:
 
 def ark_g2_uncompressed_read(b: bytes):
     """128 bytes: x.c0, x.c1, y.c0, y.c1 (each LE32), flags on byte 127."""
-    assert len(b) == 128
+    if len(b) != 128:
+        raise DeserializationError("ark G2 uncompressed needs 128 bytes")
     xc0 = int.from_bytes(b[0:32], "little")
     xc1 = int.from_bytes(b[32:64], "little")
     yc0 = int.from_bytes(b[64:96], "little")
@@ -194,7 +201,8 @@ def _fq2_sqrt(a):
 def ark_g2_compressed_read(b: bytes):
     """64 bytes: x.c0 LE32 || x.c1 LE32, flags on byte 63 (bit7: y 'negative'
     under the (c1, c0)-lexicographic QuadExtField ordering; bit6: infinity)."""
-    assert len(b) == 64
+    if len(b) != 64:
+        raise DeserializationError("ark G2 compressed needs 64 bytes")
     top = b[63]
     infinity = bool(top & _INF_FLAG)
     negative = bool(top & _NEG_FLAG)
@@ -240,9 +248,11 @@ def vk_common_to_bytes(g1_points, g2_points) -> bytes:
 
 
 def ark_fr_read(b: bytes) -> int:
-    assert len(b) == 32
+    if len(b) != 32:
+        raise DeserializationError(f"Fr needs 32 bytes, got {len(b)}")
     v = int.from_bytes(b, "little")
-    assert v < R_MOD, "non-canonical Fr"
+    if v >= R_MOD:
+        raise DeserializationError("non-canonical Fr")
     return v
 
 
@@ -288,7 +298,7 @@ def load_srs_params(size: int, srs_padding_bytes: bytes):
     elif size == 16384:
         new_g1[16384:16387] = g1[2057:2060]
     elif size > 16384:
-        raise ValueError("SRS capped at n = 16384")
+        raise MissingSRSError("SRS capped at n = 16384")
     return new_g1, g2
 
 
@@ -304,7 +314,8 @@ class BincodeReader:
 
     def take(self, n: int) -> bytes:
         b = self.data[self.off : self.off + n]
-        assert len(b) == n, "bincode: truncated"
+        if len(b) != n:
+            raise DeserializationError("bincode: truncated")
         self.off += n
         return b
 
@@ -331,7 +342,8 @@ class ArkReader:
 
     def take(self, n):
         b = self.data[self.off : self.off + n]
-        assert len(b) == n, "ark: truncated"
+        if len(b) != n:
+            raise DeserializationError("ark: truncated")
         self.off += n
         return b
 

@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
 """Generate the Solidity verifier-key contracts (VerifierKey_N.sol +
 VerifierKeyExtra{1,2}_N.sol) from a VerifierParams — the python equivalent of
-the reference's tera-based codegen (uzkge/src/gen_params/solidity.rs:17-146,
-templates in uzkge/parameters/VerifierKey*.sol).
+the reference's tera-based codegen (uzkge/src/gen_params/solidity.rs:17-146).
 
-Layout (verified against the committed VerifierKey_20.sol): 32 points
-(9 q, 5 s, qb, 4 prk, q_ecc, 12 shuffle-generator), a 768-byte gap for the 12
-calldata-loaded public-key commitment slots, then anemoi g, g_inv, k0..k4,
-edwards_a, root-of-unity, cs_size.
+Output is byte-identical to the committed contracts
+(/root/reference/contracts/solidity/contracts/shuffle/VerifierKey*_{20,52}.sol),
+including the Extra contracts' ABI: each is a no-argument FUNCTION returning
+`uint256[N] memory` (PlonkVerifier.sol:366-371 staticcalls that selector to
+load the PI indices/lagrange tables) — not a public array.  Asserted green by
+tests/test_solidity_vk.py.
+
+VerifierKey_N layout (mstore offsets): 32 points (9 q, 5 s, qb, 4 prk,
+q_ecc, 12 shuffle-generator), a 768-byte gap for the 12 calldata-loaded
+public-key commitment slots, then anemoi g, g_inv, k0..k4, edwards_a,
+root-of-unity, cs_size (decimal).
 
 Usage: python tools/gen_solidity_vk.py <n_cards> <out_dir>
 """
@@ -23,6 +29,7 @@ from uzkge_tpu.ff.field import Fr
 _HEADER = """// SPDX-License-Identifier: UNLICENSED
 // Generated file from uzkge/gen-params, DONOT edit!
 pragma solidity ^0.8.20;
+
 """
 
 
@@ -64,41 +71,44 @@ def gen_solidity_vk(vk, deck_num: int):
     for k in vk.k:
         push_scalar(k)
     push_scalar(vk.edwards_a)
-    push_scalar(Fr.root_of_unity(vk.cs_size))
     root = Fr.root_of_unity(vk.cs_size)
-    entries.append((off, str(vk.cs_size)))
+    push_scalar(root)
+    entries.append((off, str(vk.cs_size)))  # decimal, like the reference
     off += 32
 
-    lines = "\n            ".join(f"mstore(add(vk, {hex(o)}), {v})" for o, v in entries)
-    main = f"""{_HEADER}
-library VerifierKey_{deck_num} {{
-    function load(uint256 vk, uint256 pi) internal pure {{
-        assembly {{
-            // verifier key
-            {lines}
-            /// public inputs length
-            mstore(add(pi, 0x0), {deck_num * 8})
-        }}
-    }}
-}}
-"""
+    n_pi = deck_num * 8
+    main = (
+        _HEADER
+        + f"library VerifierKey_{deck_num} {{\n"
+        + "    function load(uint256 vk, uint256 pi) internal pure {\n"
+        + "        assembly {\n"
+        + "            // verifier key\n"
+        + "".join(f"            mstore(add(vk, {hex(o)}), {v})\n" for o, v in entries)
+        + "            \n"
+        + "            /// public inputs length\n"
+        + f"            mstore(add(pi, 0x0), {n_pi})\n"
+        + "        }\n"
+        + "    }\n"
+        + "}"  # no trailing newline, matching the committed files
+    )
+
     indices = [pow(root, ci, R_MOD) for ci in vk.public_vars_constraint_indices]
     lagrange = list(vk.lagrange_constants)
 
     def extra(n_file, name, vals):
-        body = "\n        ".join(
-            f"{name}[{i}] = {_word(v)};" for i, v in enumerate(vals)
+        return (
+            _HEADER
+            + f"contract VerifierKeyExtra{n_file}_{deck_num} {{\n"
+            + f"    function {name}() public returns (uint256[{n_pi}] memory) {{\n"
+            + "        // The public constrain variables indices.\n"
+            + f"        uint256[{n_pi}] memory {name};\n"
+            + "        \n"
+            + "".join(f"        {name}[{i}] = {_word(v)};\n" for i, v in enumerate(vals))
+            + "\n"
+            + f"        return {name};\n"
+            + "    }\n"
+            + "}\n"
         )
-        return f"""{_HEADER}
-contract VerifierKeyExtra{n_file}_{deck_num} {{
-    uint256[{deck_num * 8}] public {name};
-
-    constructor() {{
-        // The public constrain variables indices.
-        {body}
-    }}
-}}
-"""
 
     return {
         f"VerifierKey_{deck_num}.sol": main,

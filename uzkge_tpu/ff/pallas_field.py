@@ -7,9 +7,10 @@ form (whose fusion boundaries force HBM round trips).
 
 On non-TPU platforms (the CPU test mesh) the same call dispatches to the
 vfield whole-array kernels — identical math, XLA-compiled, no Pallas
-interpreter overhead.  Larger fused kernels (the MSM point-tree reduction,
-the NTT REDC) live next to their consumers in msm/ and ntt/ and follow the
-same TPU/CPU dual-dispatch pattern through `use_pallas()`.
+interpreter overhead.  The larger fused kernels (the MSM
+point-tree reduction in msm/fixed_base.py) follow the same TPU/CPU
+dual-dispatch pattern through `use_pallas()`; the NTT core (ntt/stockham.py)
+is gather-free whole-array vfield math and needs no Pallas form.
 """
 
 import functools

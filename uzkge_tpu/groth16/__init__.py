@@ -10,4 +10,12 @@ Split:
 
 from .r1cs import R1CS
 from .groth16 import Groth16Pk, Groth16Vk, Groth16Proof, setup, prove, verify
-from .reveal import reveal_circuit, prove_reveal, verify_reveal_snark, reveal_setup
+from .reveal import (
+    reveal_circuit,
+    prove_reveal,
+    verify_reveal_snark,
+    reveal_setup,
+    prove_reveal_onchain,
+    verify_reveal_onchain,
+)
+from .ark_pk import load_reference_groth16_pk

@@ -18,11 +18,17 @@ needed in-circuit:
       one product (x1*y2 == y1*x2), and the conditional select reuses the
       R1CS `select` gadget on each output coordinate.
 
-The circuit shape is ours (we run our own deterministic setup and export the
-vk to a Solidity verifier via tools/gen_groth16_verifier.py); it is NOT the
-ark-r1cs-std gate layout, so proofs are not interchangeable with the
-reference's embedded groth16_pk.bin — parse_ark_proving_key() reads that
-artifact for vk parity checks and future interop.
+Two proving paths:
+
+  * `prove_reveal` — OUR circuit shape (this module's gadgets, ~7 constraints
+    per conditional add) with our own deterministic setup.  Compact, but not
+    interchangeable with the reference deployment.
+  * `prove_reveal_onchain` — the reference-interoperable path: replays
+    ark-r1cs-std 0.4's exact gate layout (groth16/ark_r1cs.py) and proves
+    with the reference's embedded `groth16_pk.bin` (groth16/ark_pk.py), so
+    the resulting proof is accepted by the DEPLOYED `Groth16Verifier.sol`
+    (its vk constants equal the embedded pk's vk — tests/test_groth16_ark.py
+    executes the unchanged contract over our proof bytes).
 """
 
 from typing import List, Optional, Tuple
@@ -172,3 +178,42 @@ def verify_reveal_snark(masked_e1, reveal_pt, player_pk,
     pi = [masked_e1[0], masked_e1[1], reveal_pt[0], reveal_pt[1],
           player_pk[0], player_pk[1]]
     return verify(vk, pi, proof)
+
+
+# ------------------------------------------------------------------ interop
+# Proofs for the DEPLOYED Groth16Verifier.sol, via the reference's embedded
+# ark proving key (sdk.rs:288-326 `reveal_card_with_snark`).
+
+
+def prove_reveal_onchain(sk: int, masked_e1, rng=None):
+    """Returns (reveal_point, (A, B, C)) where the proof verifies under the
+    deployed contract's vk.  A, C are G1 affine; B is G2 affine."""
+    import random as _random
+
+    from .ark_pk import load_reference_groth16_pk
+    from .ark_prove import groth16_prove_with_pk
+    from .ark_r1cs import synthesize_reveal
+
+    sk %= bjj.ORDER
+    reveal_pt = bjj.mul(masked_e1, sk)
+    pk_pt = bjj.mul(BJJ_GENERATOR, sk)
+    cs = synthesize_reveal(sk, masked_e1, reveal_pt, pk_pt)
+    apk = load_reference_groth16_pk()
+    if rng is None:
+        rng = _random.SystemRandom()
+    r = rng.randrange(1, R_MOD)
+    s = rng.randrange(1, R_MOD)
+    proof = groth16_prove_with_pk(apk, cs.matrices(), cs.assignment(),
+                                  cs.num_instance, r, s)
+    return reveal_pt, proof
+
+
+def verify_reveal_onchain(masked_e1, reveal_pt, player_pk, proof) -> bool:
+    """Pairing check under the embedded pk's vk (== the deployed contract's
+    constants); public-input order per RevealVerifier.sol:53."""
+    from .ark_pk import load_reference_groth16_pk
+    from .ark_prove import groth16_verify_with_vk
+
+    pi = [masked_e1[0], masked_e1[1], reveal_pt[0], reveal_pt[1],
+          player_pk[0], player_pk[1]]
+    return groth16_verify_with_vk(load_reference_groth16_pk().vk, proof, pi)

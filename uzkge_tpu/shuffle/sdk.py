@@ -175,6 +175,24 @@ def reveal_card(sk: str, card: List[str]) -> dict:
     return {"card": point_to_hex(share), "proof": "0x" + proof.to_uncompress().hex()}
 
 
+def reveal_card_with_snark(sk: str, card: List[str]) -> dict:
+    """Reveal share plus a Groth16 proof the DEPLOYED Groth16Verifier.sol
+    accepts (sdk.rs:288-326).  snark_proof word order matches the contract
+    calldata: [a.x, a.y, b.x.c1, b.x.c0, b.y.c1, b.y.c0, c.x, c.y]."""
+    from ..groth16.reveal import prove_reveal_onchain
+
+    secret = hex_to_scalar(sk)
+    masked = masked_card_deserialize(card)
+    reveal_pt, (A, B, C) = prove_reveal_onchain(secret, masked.e1, rng=_RNG)
+    snark_proof = [
+        scalar_to_hex(A[0]), scalar_to_hex(A[1]),
+        scalar_to_hex(B[0][1]), scalar_to_hex(B[0][0]),
+        scalar_to_hex(B[1][1]), scalar_to_hex(B[1][0]),
+        scalar_to_hex(C[0]), scalar_to_hex(C[1]),
+    ]
+    return {"card": point_to_hex(reveal_pt), "snark_proof": snark_proof}
+
+
 def verify_revealed_card(pk: str, card: List[str], reveal: dict) -> bool:
     return app.verify_reveal(
         hex_to_point(pk),

@@ -14,6 +14,7 @@ is gather-free whole-array vfield math and needs no Pallas form.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -24,8 +25,24 @@ from .jax_field import L
 from .pallas_rows import RowCtx, rfr, rfq
 
 
+def interpret_mode() -> bool:
+    """UZKGE_PALLAS=interpret runs the *actual* Pallas kernel bodies through
+    the Pallas interpreter on any backend — slow, but it exercises the TPU
+    kernel code (refs, block specs, in-kernel loops) in the CPU test suite
+    instead of the vfield fallback."""
+    return os.environ.get("UZKGE_PALLAS", "") == "interpret"
+
+
 def use_pallas() -> bool:
-    return jax.default_backend() == "tpu"
+    return interpret_mode() or jax.default_backend() == "tpu"
+
+
+def pallas_call(*args, **kwargs):
+    """pl.pallas_call with the interpret flag injected (all kernel call
+    sites route through this so UZKGE_PALLAS=interpret covers them)."""
+    if interpret_mode():
+        kwargs.setdefault("interpret", True)
+    return pl.pallas_call(*args, **kwargs)
 
 
 def _pad_lanes(x, n_pad):
@@ -56,7 +73,7 @@ def _pmul_flat(ctx: RowCtx, a, b):
     n_pad = ((n + blk - 1) // blk) * blk
     a = _pad_lanes(a, n_pad)
     b = _pad_lanes(b, n_pad)
-    out = pl.pallas_call(
+    out = pallas_call(
         functools.partial(_mul_kernel, ctx),
         out_shape=jax.ShapeDtypeStruct((L, n_pad), jnp.uint32),
         grid=(n_pad // blk,),

@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants.bn254 import Q_MOD, R_MOD
 from ..ff.jax_field import L, fq_ctx, fr_ctx
 from ..ff.pallas_rows import RowCtx, rfq, rfr
-from ..ff.pallas_field import use_pallas, pmul
+from ..ff.pallas_field import use_pallas, pmul, pallas_call
 
 
 B3_INT = 9  # 3*b for BN254 G1 (y^2 = x^3 + 3)
@@ -321,7 +321,7 @@ def _scan_reduce_tpu(kernel_fn, S, arrays, d=None):
     if d is not None:
         in_specs.append(pl.BlockSpec((S, G), lambda i: (0, i), memory_space=pltpu.VMEM))
         args.append(d)
-    call = pl.pallas_call(
+    call = pallas_call(
         functools.partial(kernel_fn, S),
         out_shape=tuple(jax.ShapeDtypeStruct((L, total), jnp.uint32) for _ in range(3)),
         grid=(grid,),
@@ -403,7 +403,7 @@ def pbatch_inv_fq(a):
         levels.append(lay)
         G = _pick_G(cur.shape[1] // S)
         grid = (cur.shape[1] // S) // G
-        cur = pl.pallas_call(
+        cur = pallas_call(
             functools.partial(_prod_kernel, S),
             out_shape=jax.ShapeDtypeStruct((L, cur.shape[1] // S), jnp.uint32),
             grid=(grid,),
@@ -415,7 +415,7 @@ def pbatch_inv_fq(a):
         total = lay.shape[2]
         G = _pick_G(total)
         grid = total // G
-        out = pl.pallas_call(
+        out = pallas_call(
             functools.partial(_inv_kernel, S),
             out_shape=jax.ShapeDtypeStruct((L, S, total), jnp.uint32),
             grid=(grid,),
@@ -464,7 +464,7 @@ def _build_bases(x_v, y_v, W: int, c: int):
     n = x_v.shape[1]
     if use_pallas():
         G = _pick_G(n, cap=512)
-        BX, BY, BZ = pl.pallas_call(
+        BX, BY, BZ = pallas_call(
             functools.partial(_bases_kernel, W, c),
             out_shape=tuple(jax.ShapeDtypeStruct((L, W, n), jnp.uint32) for _ in range(3)),
             grid=(n // G,),
@@ -500,7 +500,7 @@ def _build_chunk(TX, TY, TZ, bax, bay, CH: int):
     n = TX.shape[1]
     if use_pallas():
         G = _pick_G(n, cap=512)
-        outs = pl.pallas_call(
+        outs = pallas_call(
             functools.partial(_mult_chunk_kernel, CH),
             out_shape=tuple(
                 [jax.ShapeDtypeStruct((L, CH, n), jnp.uint32)] * 3
@@ -619,8 +619,10 @@ def msm_chain(x_v, y_v, scalars_mont, bits: int = 256):
 class FixedBaseTable:
     """Device-resident signed-window multiple table for a fixed G1 base set.
 
-    Table layout: row (d-1)*W*n + w*n + i holds (d * 2^(c*w) * P_i) as 32
-    uint16-packed limbs (x||y), built entirely on device.
+    Table layout: row (w*n + i)*D + (d-1) holds (d * 2^(c*w) * P_i) as 32
+    uint16-packed limbs (x||y), built entirely on device.  Leaf-major rows
+    make the per-MSM gather address-monotonic (each leaf reads one 64 B row
+    out of its own contiguous D-row block).
 
     `bits` bounds the scalars (default 254 covers Fr); tests use smaller
     values to keep window counts tiny.
@@ -660,7 +662,16 @@ class FixedBaseTable:
         for _ in range(D // CH):
             TX, TY, TZ, packed = chunk_jit(TX, TY, TZ, bax, bay)
             chunks.append(packed)
-        self.table = jnp.concatenate(chunks, axis=0)  # (D*W*n, 32) uint16
+        dmaj = jnp.concatenate(chunks, axis=0)  # (D*W*n, 32), d-major rows
+        # Permute to LEAF-MAJOR rows (leaf*D + (d-1)): each leaf's D digit
+        # options are a contiguous D*64-byte block, so the per-MSM row
+        # gather walks strictly increasing addresses (one 64 B row out of
+        # each consecutive block) instead of jumping W*n rows between
+        # neighbours — sequential-prefetch traffic instead of random 64 B
+        # HBM reads, which dominated the MSM wall-clock.
+        self.table = jax.jit(
+            lambda t: t.reshape(D, W * n, 32).transpose(1, 0, 2).reshape(D * W * n, 32)
+        )(dmaj)
         self._msm_jit = jax.jit(self._msm_impl)
 
     # ------------------------------------------------------------- querying
@@ -676,14 +687,16 @@ class FixedBaseTable:
         S = _pick_S(per)
         J = per // S
         d_lay = jnp.moveaxis(_to_scan_layout(d_t, S), 1, 0).reshape(S, P * J)
-        idx_mag = jnp.abs(d_t)
-        base_idx = (jnp.arange(W, dtype=jnp.int32)[:, None] * n
-                    + jnp.arange(n, dtype=jnp.int32)[None, :]).reshape(1, W * n)
-        idx = jnp.maximum(idx_mag - 1, 0) * (W * n) + base_idx  # (P, W*n)
-        idx_lay = jnp.moveaxis(_to_scan_layout(idx, S), 1, 0).reshape(S, -1)
-        rows = table[idx_lay.reshape(-1)].astype(jnp.uint32)  # (S*P*J, 32)
-        x = jnp.moveaxis(rows[:, :L], -1, 0).reshape(L, S, P * J)
-        y = jnp.moveaxis(rows[:, L:], -1, 0).reshape(L, S, P * J)
+        # leaf-major rows: idx = leaf*D + (|d|-1) is strictly increasing
+        # along the leaf axis of every batch row (see table build note)
+        D = self.D
+        base_idx = jnp.arange(per, dtype=jnp.int32)[None, :] * D  # (1, W*n)
+        idx = base_idx + jnp.maximum(jnp.abs(d_t) - 1, 0)  # (P, W*n)
+        rows = table[idx.reshape(-1)].astype(jnp.uint32)  # (P*W*n, 32)
+        x = jnp.moveaxis(rows[:, :L], -1, 0).reshape(L, P, per)
+        y = jnp.moveaxis(rows[:, L:], -1, 0).reshape(L, P, per)
+        x = jnp.moveaxis(_to_scan_layout(x, S), 2, 1).reshape(L, S, P * J)
+        y = jnp.moveaxis(_to_scan_layout(y, S), 2, 1).reshape(L, S, P * J)
         return _reduce_leaves(x, y, d_lay, S, P, J)
 
     def msm_mont(self, scalars_mont):

@@ -53,10 +53,17 @@ class NTTDomain:
         self._pows_int = pows
         self.master = ctx.to_mont_limbs(pows).reshape(n, L)
 
-        # per-stage Stockham twiddle tables (forward + inverse)
-        from .stockham import stage_twiddles
+        # butterfly tables: four-step factorization for large domains (keeps
+        # a >=64-wide axis on the 128 lanes at every stage — the flat radix-2
+        # form's early stages pad up to 128x and OOM at the quotient domain),
+        # flat Stockham stage twiddles for small ones.
+        from .stockham import fourstep_plan, stage_twiddles
 
-        if n > 1:
+        self._fourstep = n >= 4096
+        if n > 1 and self._fourstep:
+            self._plan_fwd = fourstep_plan(self.master, n, inverse=False)
+            self._plan_inv = fourstep_plan(self.master, n, inverse=True)
+        elif n > 1:
             self._tws_fwd = stage_twiddles(self.master, n, inverse=False)
             self._tws_inv = stage_twiddles(self.master, n, inverse=True)
         self.n_inv_arr = ctx.to_mont_limbs(self.n_inv)
@@ -72,10 +79,13 @@ class NTTDomain:
         ctx = self.ctx
         if self.n == 1:
             return x
-        from .stockham import stockham_fft_v
+        from .stockham import fourstep_fft_v, stockham_fft_v
 
         xv = jnp.moveaxis(x, -1, 0)  # (L, n) vertical
-        out = stockham_fft_v(xv, self._tws_inv if inverse else self._tws_fwd)
+        if self._fourstep:
+            out = fourstep_fft_v(xv, self._plan_inv if inverse else self._plan_fwd)
+        else:
+            out = stockham_fft_v(xv, self._tws_inv if inverse else self._tws_fwd)
         x = jnp.moveaxis(out, 0, -1)
         if inverse:
             x = ctx.mul(x, jnp.broadcast_to(self.n_inv_arr, x.shape))

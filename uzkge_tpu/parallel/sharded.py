@@ -224,6 +224,80 @@ class ShardedNTT:
         return fr_ctx.mul(coeffs, dom.power_ladder(k_inv))
 
 
+# ------------------------------------------------- proof-batch data parallel
+#
+# BASELINE config 5: many independent proofs at once.  The proof axis is
+# embarrassingly parallel, so the dp sharding needs no collective at all —
+# each device runs the full kernel on its slice of the proof batch and the
+# out_specs gather reassembles the batch.  This composes with the 'pts'
+# sharding above (a 2D ('dp','pts') mesh shards both axes).
+
+
+def sharded_msm_batch(mesh: Mesh, x_v, y_v, scalars_mont, axis: str = "pts"):
+    """Proof-batch-sharded MSM: scalars (P, n, L) sharded on the proof axis,
+    points replicated; returns (3, L, P) projective sums.  P must divide by
+    the mesh size."""
+
+    def local(sc_s):
+        X, Y, Z = msm_chain(x_v, y_v, sc_s)  # (L, P/ndev) each
+        return jnp.stack([X, Y, Z])
+
+    f = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(Pspec(axis, None, None),),
+            out_specs=Pspec(None, None, axis),
+            check_rep=False,
+        )
+    )
+    return f(scalars_mont)
+
+
+def sharded_commit_batch(mesh: Mesh, points: List, scalars_rows: List[List[int]],
+                         axis: str = "pts"):
+    """Host-level convenience: commit a batch of evaluation rows with the
+    proof axis sharded across the mesh; returns host affine points."""
+    P = len(scalars_rows)
+    n = len(points)
+    flat = [s % R_MOD for row in scalars_rows for s in row]
+    sc = fr_ctx.to_mont_limbs(flat).reshape(P, n, L)
+    x_v = jnp.moveaxis(fq_ctx.to_mont_limbs([p[0] for p in points]).reshape(n, L), -1, 0)
+    y_v = jnp.moveaxis(fq_ctx.to_mont_limbs([p[1] for p in points]).reshape(n, L), -1, 0)
+    S3 = sharded_msm_batch(mesh, x_v, y_v, sc, axis)
+    return _extract_host(S3[0], S3[1], S3[2], P)
+
+
+def sharded_ntt_batch(mesh: Mesh, data, inverse: bool = False,
+                      coset_k: int = None, axis: str = "pts"):
+    """Batch-axis-sharded NTT: data (P, n, L), each device transforms its
+    share of the P polynomials with the single-device radix-2 core (the
+    right parallelism when P >= ndev; ShardedNTT's four-step all_to_all is
+    for the P < ndev, huge-n regime)."""
+    n = data.shape[1]
+    dom = get_domain(n)
+
+    k_inv = pow(coset_k, R_MOD - 2, R_MOD) if (coset_k is not None and inverse) else None
+
+    def local(rows):
+        if coset_k is not None and not inverse:
+            return dom.coset_fft_batch(rows, coset_k)
+        if coset_k is not None:
+            return dom.coset_scale(dom.ifft_batch(rows), k_inv)
+        return dom.ifft_batch(rows) if inverse else dom.fft_batch(rows)
+
+    f = jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(Pspec(axis, None, None),),
+            out_specs=Pspec(axis, None, None),
+            check_rep=False,
+        )
+    )
+    return f(data)
+
+
 # --------------------------------------------------------------- dry run
 
 
@@ -262,4 +336,17 @@ def dryrun_multichip(n_devices: int):
     cev = sntt.coset_fft(dev, 7)
     assert fr_ctx.from_mont_limbs(cev) == fr_ctx.from_mont_limbs(dom.coset_fft(dev, 7)), \
         "sharded coset NTT mismatch"
+
+    # ---- proof-batch (dp) data parallelism: sharded commits + batch NTT
+    rows_dp = [[rng.randrange(R_MOD) for _ in range(n_pts)] for _ in range(n_devices)]
+    got_dp = sharded_commit_batch(mesh, pts, rows_dp)
+    for row, g in zip(rows_dp, got_dp):
+        assert g == g1_msm(pts, row), "dp-sharded commit mismatch"
+    batch = fr_ctx.to_mont_limbs(
+        [rng.randrange(R_MOD) for _ in range(n_devices * n)]
+    ).reshape(n_devices, n, L)
+    ev_dp = sharded_ntt_batch(mesh, batch)
+    ref = dom.fft_batch(batch)
+    assert fr_ctx.from_mont_limbs(ev_dp.reshape(-1, L)) == \
+        fr_ctx.from_mont_limbs(ref.reshape(-1, L)), "dp-sharded batch NTT mismatch"
     return True

@@ -72,11 +72,14 @@ def bench_msm(n=16384, batch=8, iters=3):
     pps = batch * n / t
 
     # spot-check one commitment against the host oracle on a small prefix
+    # (packed into the same (batch, n, L) shape as the timed calls so no
+    # second XLA compile is triggered)
     from uzkge_tpu.curve.bn254 import g1_msm
     k = 256
-    small = [flat[:k] + [0] * (n - k)]
-    got = kzg.commit_evals_batch(fr_ctx.to_mont_limbs(small[0]).reshape(1, n, L))[0]
-    want = g1_msm(kzg._lagrange_points[:k], small[0][:k])
+    small = flat[:k] + [0] * (n - k)
+    probe = fr_ctx.to_mont_limbs(small * batch).reshape(batch, n, L)
+    got = kzg.commit_evals_batch(probe)[0]
+    want = g1_msm(kzg._lagrange_points[:k], small[:k])
     assert got == want, "MSM mismatch vs host oracle"
     log(f"msm n={n} batch={batch}: {t*1e3:.1f} ms -> {pps:,.0f} points/s (oracle ok)")
     return pps
@@ -84,26 +87,42 @@ def bench_msm(n=16384, batch=8, iters=3):
 
 def bench_prove_52(iters=2):
     """52-card shuffle proof wall-clock (the BASELINE north star), steady
-    state after one warmup, proof verified."""
+    state after one warmup, proof verified.  The refreshed proving key is a
+    deterministic function of (n_cards, apk, embedded SRS) and is persisted
+    on disk after the first build (utils/params_cache) — the same params-
+    persistence the reference ships as its parameters/ artifacts."""
     import random
     from uzkge_tpu.shuffle.app import (
         gen_shuffle_prover_params, prove_shuffle, verify_shuffle, Keypair,
         aggregate_keys, mask,
     )
     from uzkge_tpu.curve import babyjubjub as bjj
+    from uzkge_tpu.gen_params import load_srs
     from uzkge_tpu.shuffle.sdk import index_to_point
-    from uzkge_tpu.plonk.indexer import refresh_prover_params_public_key
+    from uzkge_tpu.plonk.indexer import ProverParams, refresh_prover_params_public_key
+    from uzkge_tpu.utils.params_cache import load_pp, save_pp, shuffle_pp_cache_path
 
     rng = random.Random(7)
-    t0 = time.time()
-    pp, cs, kzg = gen_shuffle_prover_params(52)
-    log(f"prove52 params (indexer): {time.time()-t0:.1f}s")
-
     keys = [Keypair.generate(rng) for _ in range(4)]
     apk = aggregate_keys([k.public for k in keys])
+
+    cache_path = shuffle_pp_cache_path(52, apk)
     t0 = time.time()
-    refresh_prover_params_public_key(pp, cs, kzg, apk)
-    log(f"prove52 pk refresh: {time.time()-t0:.1f}s")
+    pp = load_pp(cache_path, ProverParams)
+    if pp is not None:
+        kzg = load_srs(16384)
+        log(f"prove52 params (disk cache): {time.time()-t0:.1f}s")
+    else:
+        pp, cs, kzg = gen_shuffle_prover_params(52)
+        log(f"prove52 params (indexer): {time.time()-t0:.1f}s")
+        t0 = time.time()
+        refresh_prover_params_public_key(pp, cs, kzg, apk)
+        log(f"prove52 pk refresh: {time.time()-t0:.1f}s")
+        try:
+            save_pp(cache_path, pp)
+            log("prove52 params cached to disk")
+        except Exception as e:  # cache is best-effort
+            log(f"prove52 params cache save failed: {e!r}")
     cards = [index_to_point(i) for i in range(52)]
     deck = [mask(rng, apk, c, rng.randrange(1, bjj.ORDER))[0] for c in cards]
 
@@ -166,8 +185,8 @@ def main():
     platform = jax.devices()[0].platform
     log(f"platform: {platform}, devices: {jax.devices()}")
     pps = _stage("msm", bench_msm, 1.0)
+    ntt_bfs = _stage("ntt", bench_ntt, 0.9)
     lat = _stage("prove52", bench_prove_52, 0.55)
-    ntt_bfs = _stage("ntt", bench_ntt, 0.85)
     print(
         json.dumps(
             {

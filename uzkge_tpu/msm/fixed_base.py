@@ -312,7 +312,9 @@ def _pick_G(total: int, cap: int = 1024) -> int:
 
 def _scan_reduce_tpu(kernel_fn, S, arrays, d=None):
     """arrays: tuple of (L, S, total) inputs; optional (S, total) digit
-    plane.  Returns tuple of (L, total) reduced outputs."""
+    plane.  Returns tuple of (L, total) reduced outputs.  Block cap 1024:
+    the L=9 sublane axis pads to 16 in Mosaic blocks, so G=2048 already
+    needs 17.25 MB scoped VMEM against the 16 MB limit."""
     total = arrays[0].shape[2]
     G = _pick_G(total)
     grid = total // G
@@ -687,14 +689,24 @@ class FixedBaseTable:
         S = _pick_S(per)
         J = per // S
         d_lay = jnp.moveaxis(_to_scan_layout(d_t, S), 1, 0).reshape(S, P * J)
-        # leaf-major rows: idx = leaf*D + (|d|-1) is strictly increasing
-        # along the leaf axis of every batch row (see table build note)
+        # Row selection WITHOUT a gather: an XLA gather of 64 B rows runs at
+        # ~2 GB/s on TPU (measured 296 ms for the 537 MB table) regardless
+        # of address order.  Instead STREAM the whole leaf-major table once
+        # and select each leaf's row with a D-way compare chain — a fused
+        # elementwise pass at HBM streaming bandwidth.
         D = self.D
-        base_idx = jnp.arange(per, dtype=jnp.int32)[None, :] * D  # (1, W*n)
-        idx = base_idx + jnp.maximum(jnp.abs(d_t) - 1, 0)  # (P, W*n)
-        rows = table[idx.reshape(-1)].astype(jnp.uint32)  # (P*W*n, 32)
-        x = jnp.moveaxis(rows[:, :L], -1, 0).reshape(L, P, per)
-        y = jnp.moveaxis(rows[:, L:], -1, 0).reshape(L, P, per)
+        mag = jnp.abs(d_t).astype(jnp.int32)  # (P, per)
+        if use_pallas():
+            tabv = table.reshape(per, D, 32)
+            rows = jnp.broadcast_to(tabv[:, 0, :][None], (P, per, 32))
+            for d in range(2, D + 1):
+                rows = jnp.where((mag == d)[..., None], tabv[None, :, d - 1, :], rows)
+        else:  # CPU: plain gathers are fast there, and D passes are not
+            idx = jnp.arange(per, dtype=jnp.int32)[None, :] * D + jnp.maximum(mag - 1, 0)
+            rows = table[idx.reshape(-1)].reshape(P, per, 32)
+        rows = rows.astype(jnp.uint32)  # (P, per, 32)
+        x = jnp.moveaxis(rows[..., :L], -1, 0).reshape(L, P, per)
+        y = jnp.moveaxis(rows[..., L:], -1, 0).reshape(L, P, per)
         x = jnp.moveaxis(_to_scan_layout(x, S), 2, 1).reshape(L, S, P * J)
         y = jnp.moveaxis(_to_scan_layout(y, S), 2, 1).reshape(L, S, P * J)
         return _reduce_leaves(x, y, d_lay, S, P, J)

@@ -39,7 +39,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-if jax.default_backend() != "tpu" or len(jax.devices()) < 2:
+# Force the virtual CPU mesh BEFORE any backend query initializes the
+# (possibly single-chip) TPU platform.  Opt into real chips explicitly.
+if not os.environ.get("UZKGE_SCALING_ON_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 import random  # noqa: E402

@@ -29,15 +29,23 @@ def _read_required(name: str, err_cls) -> bytes:
     return _read(name)
 
 
-@lru_cache(maxsize=4)
+_SRS_CACHE: dict = {}
+
+
 def load_srs(size: int) -> KZG:
-    """Padded SRS + Lagrange bases for circuit size n (gen_params/mod.rs:144-183)."""
+    """Padded SRS + Lagrange bases for circuit size n (gen_params/mod.rs:144-183).
+    Cached per size: the KZG object owns the (expensive, device-resident)
+    fixed-base commit table, so every caller in a process shares one."""
+    kzg = _SRS_CACHE.get(size)
+    if kzg is not None:
+        return kzg
     g1, g2 = ser.load_srs_params(size, _read_required("srs-padding.bin", MissingSRSError))
     kzg = KZG(g1, g2)
     lag_name = f"lagrange-srs-{size}.bin"
     if os.path.exists(os.path.join(PARAMS_DIR, lag_name)):
         lg1, _ = ser.load_srs_unchecked(_read(lag_name))
         kzg.set_lagrange(lg1)
+    _SRS_CACHE[size] = kzg
     return kzg
 
 

@@ -25,12 +25,19 @@ from .jax_field import L
 from .pallas_rows import RowCtx, rfr, rfq
 
 
+# Snapshot once at import: jitted callers bake the flag into their traces,
+# so flipping the env var mid-process would give inconsistent dispatch
+# between fresh and cached compilations.  Set UZKGE_PALLAS before importing
+# uzkge_tpu (the test suite does, via conftest environment setup).
+_INTERPRET = os.environ.get("UZKGE_PALLAS", "") == "interpret"
+
+
 def interpret_mode() -> bool:
     """UZKGE_PALLAS=interpret runs the *actual* Pallas kernel bodies through
     the Pallas interpreter on any backend — slow, but it exercises the TPU
     kernel code (refs, block specs, in-kernel loops) in the CPU test suite
-    instead of the vfield fallback."""
-    return os.environ.get("UZKGE_PALLAS", "") == "interpret"
+    instead of the vfield fallback.  Snapshot at import (see _INTERPRET)."""
+    return _INTERPRET
 
 
 def use_pallas() -> bool:

@@ -174,41 +174,59 @@ def _store3(refs, rows3):
         _store(ref, rows)
 
 
+def _tree_combine(f, accs):
+    """Pairwise padd tree over a list of running sums."""
+    while len(accs) > 1:
+        nxt = [padd_g(f, accs[i], accs[i + 1]) for i in range(0, len(accs) - 1, 2)]
+        if len(accs) % 2:
+            nxt.append(accs[-1])
+        accs = nxt
+    return accs[0]
+
+
+# Interleaved accumulator chains per scan kernel: each chain's adds are a
+# serial dependency, so IL independent chains expose IL-way ILP to the VPU.
+# NOTE: the unrolled rows-form mul makes the traced body ~15k HLO per madd,
+# so IL > 2 multiplies an already-long Mosaic compile — raise only together
+# with a compact-trace field form.
+IL = 2
+
+
 def _scan_leaf_kernel(S, x_ref, y_ref, d_ref, ox, oy, oz):
-    """Two interleaved running sums over the S axis (hides the dependent
-    add-chain latency), combined once at the end."""
+    """IL interleaved running sums over the S axis (hides the dependent
+    add-chain latency), tree-combined at the end."""
     f = rfq
+    il = min(IL, S)
 
     def step(carry, s):
         return _leaf_step(f, carry, _col(x_ref, s), _col(y_ref, s),
                           d_ref[pl.ds(s, 1), :][0])
 
     like = [x_ref[0, 0, :]]
-    init = (_identity(f, like), _identity(f, like))
+    init = tuple(_identity(f, like) for _ in range(il))
 
-    def body(t, ab):
-        a, b = ab
-        return step(a, 2 * t), step(b, 2 * t + 1)
+    def body(t, accs):
+        return tuple(step(a, il * t + i) for i, a in enumerate(accs))
 
-    a, b = jax.lax.fori_loop(0, S // 2, body, init)
-    _store3((ox, oy, oz), padd_g(f, a, b))
+    accs = jax.lax.fori_loop(0, S // il, body, init)
+    _store3((ox, oy, oz), _tree_combine(f, list(accs)))
 
 
 def _scan_proj_kernel(S, x_ref, y_ref, z_ref, ox, oy, oz):
     f = rfq
+    il = min(IL, S)
 
     def step(carry, s):
         return _proj_step(f, carry, _col(x_ref, s), _col(y_ref, s), _col(z_ref, s))
 
     like = [x_ref[0, 0, :]]
-    init = (_identity(f, like), _identity(f, like))
+    init = tuple(_identity(f, like) for _ in range(il))
 
-    def body(t, ab):
-        a, b = ab
-        return step(a, 2 * t), step(b, 2 * t + 1)
+    def body(t, accs):
+        return tuple(step(a, il * t + i) for i, a in enumerate(accs))
 
-    a, b = jax.lax.fori_loop(0, S // 2, body, init)
-    _store3((ox, oy, oz), padd_g(f, a, b))
+    accs = jax.lax.fori_loop(0, S // il, body, init)
+    _store3((ox, oy, oz), _tree_combine(f, list(accs)))
 
 
 def _bases_kernel(W, c, x_ref, y_ref, ox, oy, oz):

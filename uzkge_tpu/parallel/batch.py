@@ -19,6 +19,7 @@ bottleneck (transcript hashing + witness generation are serial per proof).
 tools/bench_scaling.py measures both regimes; SCALING.md records the table.
 """
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import replace as dc_replace
 from typing import List, Optional
@@ -36,15 +37,23 @@ def _replicate_pp(pp, dev):
     return dc_replace(pp, **updates)
 
 
-_PP_CACHE: dict = {}
+# Per-device replicas live ON the params object (not a module-level dict
+# keyed by id(pp): ids alias after GC, which could silently serve a stale
+# proving key, and a global dict would pin every replica's HBM forever).
+_PP_LOCK = threading.Lock()
 
 
 def _pp_for_device(pp, dev):
-    key = (id(pp), repr(dev))
-    got = _PP_CACHE.get(key)
-    if got is None:
-        got = _replicate_pp(pp, dev)
-        _PP_CACHE[key] = got
+    with _PP_LOCK:
+        cache = getattr(pp, "_device_replicas", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(pp, "_device_replicas", cache)
+        key = repr(dev)
+        got = cache.get(key)
+        if got is None:
+            got = _replicate_pp(pp, dev)
+            cache[key] = got
     return got
 
 

@@ -28,6 +28,7 @@ from ..constants.bn254 import R_MOD as P
 from ..ff.jax_field import fr_ctx, L
 from ..ntt.ntt import get_domain
 from ..utils.transcript import Transcript
+from ..utils.stagetimer import stage
 from .cs import TurboCS, N_WIRES_PER_GATE
 from .helpers import alpha_powers, first_lagrange_eval, r_scalars
 from .indexer import ProverParams
@@ -297,13 +298,16 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         return [kzg.commit_coefs(fr_ctx.from_mont_limbs(p)) for p in blinded_polys]
 
     # --- round 1: witness polynomials
-    extended = cs.extend_witness(witness)
-    w_evals_dev = fr_ctx.to_mont_limbs(extended).reshape(N_WIRES_PER_GATE, n, L)
+    with stage("r1_witness_host"):
+        extended = cs.extend_witness(witness)
+        w_evals_dev = fr_ctx.to_mont_limbs(extended).reshape(N_WIRES_PER_GATE, n, L)
     # (the packed byte form is rebuilt for the native z-poly in round 2)
-    w_coefs_dev = dom.ifft_batch(w_evals_dev)
-    w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
-    w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
-    cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds, w_polys)
+    with stage("r1_ifft", block=None):
+        w_coefs_dev = dom.ifft_batch(w_evals_dev)
+        w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
+        w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
+    with stage("r1_commit"):
+        cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds, w_polys)
     for cm in cm_w_vec:
         transcript.append_commitment(cm)
 
@@ -311,13 +315,16 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     w_sel_polys = []
     cm_w_sel_vec = []
     if with_shuffle:
-        wsel_rows = cs.compute_witness_selectors()
-        wsel_flat = [v for row in wsel_rows for v in row]
-        wsel_evals_dev = fr_ctx.to_mont_limbs(wsel_flat).reshape(3, n, L)
-        wsel_coefs_dev = dom.ifft_batch(wsel_evals_dev)
-        wsel_blinds = [[rand_fr(), rand_fr()] for _ in range(3)]
-        w_sel_polys = [_hide(wsel_coefs_dev[i], wsel_blinds[i], n) for i in range(3)]
-        cm_w_sel_vec = commit_evals_with_blinds(wsel_evals_dev, wsel_blinds, w_sel_polys)
+        with stage("r1b_wsel_host"):
+            wsel_rows = cs.compute_witness_selectors()
+            wsel_flat = [v for row in wsel_rows for v in row]
+            wsel_evals_dev = fr_ctx.to_mont_limbs(wsel_flat).reshape(3, n, L)
+        with stage("r1b_ifft"):
+            wsel_coefs_dev = dom.ifft_batch(wsel_evals_dev)
+            wsel_blinds = [[rand_fr(), rand_fr()] for _ in range(3)]
+            w_sel_polys = [_hide(wsel_coefs_dev[i], wsel_blinds[i], n) for i in range(3)]
+        with stage("r1b_commit"):
+            cm_w_sel_vec = commit_evals_with_blinds(wsel_evals_dev, wsel_blinds, w_sel_polys)
         for cm in cm_w_sel_vec:
             transcript.append_commitment(cm)
 
@@ -329,43 +336,52 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
 
     from .. import native_host as nh
 
-    witness_blob = b"".join(int(v).to_bytes(32, "little") for v in extended)
-    if not pp.group_blob:
-        pp.group_blob = b"".join(int(v).to_bytes(32, "little") for v in pp.group)
-    z_blob = nh.z_poly_bytes(
-        witness_blob, pp.permutation, pp.group_blob, vk.k, beta, gamma, n
-    )
-    z_evals_dev = fr_ctx.to_mont_limbs_from_bytes(z_blob)
-    z_coefs_dev = dom.ifft(z_evals_dev)
-    z_blinds = [rand_fr() for _ in range(3)]
-    z_poly = _hide(z_coefs_dev, z_blinds, n)
-    cm_z = commit_evals_with_blinds(z_evals_dev[None], [z_blinds], [z_poly])[0]
+    with stage("r2_z_host"):
+        witness_blob = b"".join(int(v).to_bytes(32, "little") for v in extended)
+        if not pp.group_blob:
+            pp.group_blob = b"".join(int(v).to_bytes(32, "little") for v in pp.group)
+        z_blob = nh.z_poly_bytes(
+            witness_blob, pp.permutation, pp.group_blob, vk.k, beta, gamma, n
+        )
+        z_evals_dev = fr_ctx.to_mont_limbs_from_bytes(z_blob)
+    with stage("r2_ifft"):
+        z_coefs_dev = dom.ifft(z_evals_dev)
+        z_blinds = [rand_fr() for _ in range(3)]
+        z_poly = _hide(z_coefs_dev, z_blinds, n)
+    with stage("r2_commit"):
+        cm_z = commit_evals_with_blinds(z_evals_dev[None], [z_blinds], [z_poly])[0]
     transcript.append_commitment(cm_z)
 
     # --- round 3: alpha, t polynomial
     alpha = transcript.get_challenge(P)
     challenges["alpha"] = alpha
 
-    pi_evals = [0] * n
-    for pos, ci in enumerate(vk.public_vars_constraint_indices):
-        pi_evals[ci] = online_values[pos]
-    pi_coefs = dom.ifft(fr_ctx.to_mont_limbs(pi_evals))
+    with stage("r3_coset_ffts"):
+        pi_evals = [0] * n
+        for pos, ci in enumerate(vk.public_vars_constraint_indices):
+            pi_evals[ci] = online_values[pos]
+        pi_coefs = dom.ifft(fr_ctx.to_mont_limbs(pi_evals))
 
-    w_stack = jnp.stack([jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_polys])
-    w_coset = dom_m.coset_fft_batch(w_stack, k1)
-    if with_shuffle:
-        ws_stack = jnp.stack(
-            [jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_sel_polys]
-        )
-        wsel_coset = dom_m.coset_fft_batch(ws_stack, k1)
-    else:
-        wsel_coset = jnp.zeros((3, m, L), jnp.uint32)
-    z_coset = dom_m.coset_fft(z_poly, k1)
-    pi_coset = dom_m.coset_fft(pi_coefs, k1)
+        w_stack = jnp.stack([jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_polys])
+        w_coset = dom_m.coset_fft_batch(w_stack, k1)
+        if with_shuffle:
+            ws_stack = jnp.stack(
+                [jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_sel_polys]
+            )
+            wsel_coset = dom_m.coset_fft_batch(ws_stack, k1)
+        else:
+            wsel_coset = jnp.zeros((3, m, L), jnp.uint32)
+        z_coset = dom_m.coset_fft(z_poly, k1)
+        pi_coset = dom_m.coset_fft(pi_coefs, k1)
+        jax.block_until_ready(w_coset)
 
-    t_evals = t_coset_evals(pp, w_coset, wsel_coset, z_coset, pi_coset, challenges, with_shuffle)
-    t_coefs_dev = dom_m.coset_ifft(t_evals, k1)
-    t_blob = fr_ctx.from_mont_bytes(t_coefs_dev)
+    with stage("r3_t_kernel"):
+        t_evals = t_coset_evals(pp, w_coset, wsel_coset, z_coset, pi_coset, challenges, with_shuffle)
+        jax.block_until_ready(t_evals)
+    with stage("r3_t_ifft"):
+        t_coefs_dev = dom_m.coset_ifft(t_evals, k1)
+    with stage("r3_t_from_mont"):
+        t_blob = fr_ctx.from_mont_bytes(t_coefs_dev)
     # trim trailing zeros
     nt_len = len(t_blob) // 32
     while nt_len > 0 and t_blob[(nt_len - 1) * 32 : nt_len * 32] == b"\x00" * 32:
@@ -379,6 +395,8 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         blob[i * 32 : (i + 1) * 32] = int(v).to_bytes(32, "little")
 
     # split into 5 chunks of (n+2) coefficients and commit (helpers.rs:1323-1408)
+    _t_split = stage("r3_t_split_commit")
+    _t_split.__enter__()
     nt = n + 2
     cm_t_vec = []
     t_chunk_blobs = []
@@ -420,6 +438,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
             cm = kzg.commit_coefs([blob_coef(chunk, j) for j in range(cl)])
         cm_t_vec.append(cm)
         t_chunk_blobs.append(chunk)
+    _t_split.__exit__(None, None, None)
     for cm in cm_t_vec:
         transcript.append_commitment(cm)
 
@@ -428,23 +447,27 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     challenges["zeta"] = zeta
     zeta_omega = zeta * root % P
 
-    w_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_polys]
-    z_poly_blob = fr_ctx.from_mont_bytes(z_poly)
-    s_coef_blobs = [fr_ctx.from_mont_bytes(pp.s_coefs[i]) for i in range(5)]
-    prk_coef_blobs = [fr_ctx.from_mont_bytes(pp.q_prk_coefs[i]) for i in range(4)]
+    with stage("r4_from_mont"):
+        w_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_polys]
+        z_poly_blob = fr_ctx.from_mont_bytes(z_poly)
+        s_coef_blobs = [fr_ctx.from_mont_bytes(pp.s_coefs[i]) for i in range(5)]
+        prk_coef_blobs = [fr_ctx.from_mont_bytes(pp.q_prk_coefs[i]) for i in range(4)]
 
-    w_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_poly_blobs]
-    s_polys_eval_zeta = [nh.horner_eval_bytes(s_coef_blobs[i], zeta) for i in range(4)]
-    prk_3_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[2], zeta)
-    prk_4_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[3], zeta)
-    z_eval_zeta_omega = nh.horner_eval_bytes(z_poly_blob, zeta_omega)
-    w_polys_eval_zeta_omega = [nh.horner_eval_bytes(w_poly_blobs[i], zeta_omega) for i in range(3)]
+    with stage("r4_horner"):
+        w_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_poly_blobs]
+        s_polys_eval_zeta = [nh.horner_eval_bytes(s_coef_blobs[i], zeta) for i in range(4)]
+        prk_3_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[2], zeta)
+        prk_4_poly_eval_zeta = nh.horner_eval_bytes(prk_coef_blobs[3], zeta)
+        z_eval_zeta_omega = nh.horner_eval_bytes(z_poly_blob, zeta_omega)
+        w_polys_eval_zeta_omega = [nh.horner_eval_bytes(w_poly_blobs[i], zeta_omega) for i in range(3)]
 
     if with_shuffle:
-        q_ecc_blob = fr_ctx.from_mont_bytes(pp.q_ecc_coefs)
-        q_ecc_poly_eval_zeta = nh.horner_eval_bytes(q_ecc_blob, zeta)
-        w_sel_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_sel_polys]
-        w_sel_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_sel_poly_blobs]
+        with stage("r4_from_mont"):
+            q_ecc_blob = fr_ctx.from_mont_bytes(pp.q_ecc_coefs)
+            w_sel_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_sel_polys]
+        with stage("r4_horner"):
+            q_ecc_poly_eval_zeta = nh.horner_eval_bytes(q_ecc_blob, zeta)
+            w_sel_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_sel_poly_blobs]
 
     for ev in w_polys_eval_zeta + s_polys_eval_zeta:
         transcript.append_field_elem(ev)
@@ -472,18 +495,19 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         w_evals_zeta_omega=w_polys_eval_zeta_omega if with_shuffle else None,
     )
     # contributor coefficient rows in the canonical r_scalars order
-    rows = [fr_ctx.from_mont_bytes(pp.q_coefs[i]) for i in range(9)]
-    rows.append(fr_ctx.from_mont_bytes(pp.qb_coefs))
-    rows.append(prk_coef_blobs[0])
-    rows.append(prk_coef_blobs[1])
-    if with_shuffle:
-        rows += [fr_ctx.from_mont_bytes(pp.q_pk_coefs[i]) for i in range(12)]
-        rows += [fr_ctx.from_mont_bytes(pp.q_gen_coefs[i]) for i in range(12)]
-    rows.append(s_coef_blobs[4])
-    rows.append(z_poly_blob)
-    rows += t_chunk_blobs
-    maxlen = max(len(r) // 32 for r in rows)
-    r_poly_blob = nh.lincomb_bytes(rows, scalars, maxlen)
+    with stage("r5_r_poly"):
+        rows = [fr_ctx.from_mont_bytes(pp.q_coefs[i]) for i in range(9)]
+        rows.append(fr_ctx.from_mont_bytes(pp.qb_coefs))
+        rows.append(prk_coef_blobs[0])
+        rows.append(prk_coef_blobs[1])
+        if with_shuffle:
+            rows += [fr_ctx.from_mont_bytes(pp.q_pk_coefs[i]) for i in range(12)]
+            rows += [fr_ctx.from_mont_bytes(pp.q_gen_coefs[i]) for i in range(12)]
+        rows.append(s_coef_blobs[4])
+        rows.append(z_poly_blob)
+        rows += t_chunk_blobs
+        maxlen = max(len(r) // 32 for r in rows)
+        r_poly_blob = nh.lincomb_bytes(rows, scalars, maxlen)
 
     polys_to_open = list(w_poly_blobs) + s_coef_blobs[:4]
     polys_to_open.append(prk_coef_blobs[2])
@@ -493,11 +517,12 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         polys_to_open += w_sel_poly_blobs
     polys_to_open.append(r_poly_blob)
 
-    opening_witness_zeta = kzg.batch_prove(transcript, polys_to_open, zeta, n + 2)
-    opening_witness_zeta_omega = kzg.batch_prove(
-        transcript, [z_poly_blob, w_poly_blobs[0], w_poly_blobs[1], w_poly_blobs[2]],
-        zeta_omega, n + 2,
-    )
+    with stage("r5_openings"):
+        opening_witness_zeta = kzg.batch_prove(transcript, polys_to_open, zeta, n + 2)
+        opening_witness_zeta_omega = kzg.batch_prove(
+            transcript, [z_poly_blob, w_poly_blobs[0], w_poly_blobs[1], w_poly_blobs[2]],
+            zeta_omega, n + 2,
+        )
 
     proof = {
         "cm_w_vec": cm_w_vec,

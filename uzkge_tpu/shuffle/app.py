@@ -145,9 +145,12 @@ def gen_shuffle_prover_params(n_cards: int, use_embedded_vk: bool = True) -> Tup
 def prove_shuffle(rng, aggregate_public_key, input_cards: List[Ciphertext],
                   pp: ProverParams, kzg) -> Tuple[dict, List[Ciphertext]]:
     """(build_cs.rs:57-97)"""
+    from ..utils.stagetimer import stage
+
     n = len(input_cards)
-    cs, output_vars = build_cs(rng, aggregate_public_key, input_cards)
-    witness = cs.get_and_clear_witness()
+    with stage("r0_build_cs"):
+        cs, output_vars = build_cs(rng, aggregate_public_key, input_cards)
+        witness = cs.get_and_clear_witness()
 
     transcript = Transcript(PLONK_PROOF_TRANSCRIPT)
     transcript.append_u64(n)

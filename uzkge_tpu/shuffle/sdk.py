@@ -24,7 +24,11 @@ from . import app
 from .primitives import Ciphertext
 
 _PARAMS: Dict[int, tuple] = {}  # n -> (pp, cs, kzg)
-_RNG = _random.Random(secrets.randbits(64))
+# CSPRNG for every piece of proof randomness (blinding, masking, shuffle
+# permutations): the reference SDK uses a CSPRNG (default_prng in sdk.rs),
+# and a Mersenne Twister seeded with 64 bits would cap the zero-knowledge
+# blinding at 64 bits of entropy.
+_RNG = secrets.SystemRandom()
 
 
 # ------------------------------------------------------------ hex helpers

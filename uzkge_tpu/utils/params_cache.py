@@ -62,6 +62,15 @@ def load_pp(path: str, cls):
         return None
 
 
+# Bumped whenever ProverParams' field layout changes, so stale cache files
+# miss by filename instead of failing through load_pp's broad except.
+SCHEMA_VERSION = "v2"
+
+
 def shuffle_pp_cache_path(n_cards: int, apk) -> str:
-    tag = f"{apk[0]:064x}"[:16]
-    return os.path.join(cache_dir(), f"shuffle-pp-{n_cards}-{tag}")
+    import hashlib
+
+    # hash the FULL point: apk and -apk share x, and loading the wrong
+    # refreshed params would prove against the wrong joint key
+    h = hashlib.sha256(f"{apk[0]:064x}{apk[1]:064x}{SCHEMA_VERSION}".encode())
+    return os.path.join(cache_dir(), f"shuffle-pp-{n_cards}-{h.hexdigest()[:16]}")

@@ -23,9 +23,11 @@ from uzkge_tpu.constants.bn254 import R_MOD, Q_MOD
 
 @pytest.fixture
 def interpret_pallas(monkeypatch):
-    monkeypatch.setenv("UZKGE_PALLAS", "interpret")
+    # interpret_mode() snapshots UZKGE_PALLAS at import (jitted callers bake
+    # the flag into traces), so tests flip the snapshot, not the env var
     from uzkge_tpu.ff import pallas_field
 
+    monkeypatch.setattr(pallas_field, "_INTERPRET", True)
     assert pallas_field.use_pallas() and pallas_field.interpret_mode()
     yield
 

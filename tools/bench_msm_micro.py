@@ -55,14 +55,18 @@ def bench_dispatch():
     print(f"dispatch: {min(ts)*1e6:.0f} us/call (synchronous)")
 
 
-def bench_mulstream(G=1024, total=65536, K=64):
+def bench_mulstream(G=1024, total=1048576, K=64):
     """Chained Montgomery muls in one Pallas kernel, three trace forms:
     rows   — list-of-16-limb-rows, fully unrolled (~1200 HLO/mul)
-    arr    — (L, G) array form, unrolled CIOS (~250 HLO/mul)
-    arrc   — (L, G) array form, fori_loop CIOS (~20 HLO/mul)"""
+    arr    — (L, G) array form (afield), unrolled CIOS (~220 HLO/mul)
+    arrc   — (L, G) array form (afield), fori_loop CIOS (~35 HLO/mul)
+
+    NOTE on timing: with small totals the axon tunnel returns before the
+    device finishes (block_until_ready is unreliable sub-ms); use >= 50 ms
+    workloads and force a scalar readback."""
     from uzkge_tpu.ff.jax_field import L
     from uzkge_tpu.ff.pallas_rows import rfq
-    from uzkge_tpu.ff.vfield import vfq, vfq_c
+    from uzkge_tpu.ff.afield import afq, afq_c
     from uzkge_tpu.ff.pallas_field import pallas_call
 
     def kern_rows(x_ref, y_ref, o_ref):
@@ -85,16 +89,21 @@ def bench_mulstream(G=1024, total=65536, K=64):
     spec = pl.BlockSpec((L, G), lambda i: (0, i), memory_space=pltpu.VMEM)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.integers(0, 1 << 16, (L, total), dtype=np.uint32))
-    for name, kern in [("rows", kern_rows), ("arr", make_arr_kern(vfq)),
-                       ("arrc", make_arr_kern(vfq_c))]:
+    for name, kern in [("rows", kern_rows), ("arr", make_arr_kern(afq)),
+                       ("arrc", make_arr_kern(afq_c))]:
         call = pallas_call(
             kern, out_shape=jax.ShapeDtypeStruct((L, total), jnp.uint32),
             grid=(total // G,), in_specs=[spec, spec], out_specs=spec)
         f = jax.jit(call)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x, x))
+        _ = np.asarray(f(x, x)[0, 0])
         comp = time.perf_counter() - t0
-        t = timeit(f, x, x, iters=3, warmup=1)
+        ts = []
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(x, x)[0, 0])
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
         print(f"mulstream[{name}] K={K} total={total}: {t*1e3:.2f} ms -> "
               f"{K*total/t/1e9:.2f} G muls/s (compile {comp:.1f}s)")
 

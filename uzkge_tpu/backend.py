@@ -20,10 +20,16 @@ def _machine_key() -> str:
     host's CPU cache was replayed on the multichip-dryrun machine)."""
     try:
         with open("/proc/cpuinfo") as f:
-            model = next((l for l in f if l.startswith("model name")), "")
+            lines = f.read().splitlines()
+        model = next((l for l in lines if l.startswith("model name")), "")
+        # include the feature flags: XLA:CPU AOT entries embed the exact
+        # feature set, and hypervisors expose different flags for the same
+        # model string (observed: a poisoned cache logging "+prefer-no-
+        # scatter is not supported" and recompiling on every load)
+        flags = next((l for l in lines if l.startswith("flags")), "")
     except OSError:
-        model = ""
-    raw = f"{jax.default_backend()}|{_platform.machine()}|{model.strip()}"
+        model = flags = ""
+    raw = f"{jax.default_backend()}|{_platform.machine()}|{model.strip()}|{flags.strip()}"
     return f"{jax.default_backend()}-{hashlib.sha256(raw.encode()).hexdigest()[:8]}"
 
 

@@ -310,6 +310,124 @@ def _inv_kernel(S, a_ref, pinv_ref, o_ref):
         o_ref[i, pl.ds(0, 1), :] = pinv[i][None]
 
 
+# --- static-unrolled inversion kernels -----------------------------------
+#
+# The fori_loop forms above read columns with pl.ds dynamic slices, which
+# Mosaic serves ~8x slower than static reads (measured: 64 ms for a
+# 2M-element batch inversion whose mul count predicts ~9 ms).  These
+# variants unroll a short scan axis (SU = 8) with static indices, store the
+# forward prefixes, and consume them in the backward pass — 3 muls/element
+# at the full measured mul rate.
+
+SU = 8
+
+
+def _sget(ref, s):
+    return [ref[i, s, :] for i in range(L)]
+
+
+def _sput(ref, s, rows):
+    for i in range(L):
+        ref[i, s, :] = rows[i]
+
+
+def _prefix_kernel(a_ref, pref_ref, prod_ref):
+    """(L, SU, G) -> running prefixes (L, SU, G) + group product (L, G)."""
+    f = rfq
+    acc = _sget(a_ref, 0)
+    _sput(pref_ref, 0, acc)
+    for s in range(1, SU):
+        acc = f.mul(acc, _sget(a_ref, s))
+        _sput(pref_ref, s, acc)
+    _store(prod_ref, acc)
+
+
+def _invback_kernel(a_ref, pref_ref, pinv_ref, o_ref):
+    """Backward sweep: o_s = pinv * pref_{s-1}; pinv *= a_s."""
+    f = rfq
+    pinv = _rows(pinv_ref)
+    for s in range(SU - 1, 0, -1):
+        _sput(o_ref, s, f.mul(pinv, _sget(pref_ref, s - 1)))
+        pinv = f.mul(pinv, _sget(a_ref, s))
+    _sput(o_ref, 0, pinv)
+
+
+def _fermat_bits_kernel(nbits, bits_ref, x_ref, o_ref):
+    """x^e where e's bits (LSB first) arrive as a (1, nbits) i32 plane."""
+    f = rfq
+
+    def body(i, carry):
+        acc, base = carry
+        bit = bits_ref[0, i]
+        nacc = f.mul(acc, base)
+        acc = f.select(bit != 0, nacc, acc)
+        base = f.mul(base, base)
+        return acc, base
+
+    one = rfq.one_mont_like(_rows(x_ref))
+    acc, _ = jax.lax.fori_loop(0, nbits, body, (one, _rows(x_ref)))
+    _store(o_ref, acc)
+
+
+def _specSUG(G):
+    return pl.BlockSpec((L, SU, G), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+
+def pbatch_inv_fq_fast(a):
+    """Batched Fq inversion of (L, N), N divisible by SU^k down to <= 4096:
+    static-unrolled prefix/backward kernels + one Pallas Fermat at the root.
+    Inversion groups are STRIDED ({t, t+N/SU, ...}) so the (L, SU, N/SU)
+    scan layout is a free reshape, not a transpose — any partition into
+    groups is valid for the product-tree trick."""
+    from ..constants.bn254 import Q_MOD
+
+    levels = []
+    cur = a
+    while cur.shape[1] > 4096 and cur.shape[1] % SU == 0:
+        lay = cur.reshape(L, SU, cur.shape[1] // SU)
+        total = cur.shape[1] // SU
+        G = _pick_G(total)
+        pref, prod = pallas_call(
+            _prefix_kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((L, SU, total), jnp.uint32),
+                jax.ShapeDtypeStruct((L, total), jnp.uint32),
+            ),
+            grid=(total // G,),
+            in_specs=[_specSUG(G)],
+            out_specs=(_specSUG(G), _specG(G)),
+        )(lay)
+        levels.append((lay, pref))
+        cur = prod
+    # root Fermat inverse on (L, <=4096)
+    nroot = cur.shape[1]
+    e = Q_MOD - 2
+    ebits = [(e >> i) & 1 for i in range(e.bit_length())]
+    bits_arr = jnp.asarray(np.array(ebits, np.int32)[None, :])
+    inv = pallas_call(
+        functools.partial(_fermat_bits_kernel, len(ebits)),
+        out_shape=jax.ShapeDtypeStruct((L, nroot), jnp.uint32),
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, len(ebits)), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, nroot), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, nroot), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    )(bits_arr, cur)
+    for lay, pref in reversed(levels):
+        total = lay.shape[2]
+        G = _pick_G(total)
+        out = pallas_call(
+            _invback_kernel,
+            out_shape=jax.ShapeDtypeStruct((L, SU, total), jnp.uint32),
+            grid=(total // G,),
+            in_specs=[_specSUG(G), _specSUG(G), _specG(G)],
+            out_specs=_specSUG(G),
+        )(lay, pref, inv)
+        inv = out.reshape(L, SU * total)
+    return inv
+
+
 # -------------------------------------------------------- pallas plumbing
 
 
@@ -445,6 +563,231 @@ def pbatch_inv_fq(a):
         # undo scan layout: (L, S, N/S) -> (L, N)
         inv = jnp.swapaxes(out, -1, -2).reshape(L, S * total)
     return inv
+
+
+# ------------------------------------------- batch-affine leaf reduction
+#
+# The complete-add scan costs ~11 Montgomery muls per folded leaf; measured
+# VPU throughput is ~1.1e9 muls/s on a v5e, which caps it at ~80M leaf
+# adds/s.  The affine pairwise-tree form costs 6 muls per add (3 for the
+# add itself + 3 amortized for the shared batched inversion), phrased as
+# log2 "level passes" over the whole leaf array:
+#
+#   level:  (x, y, inf) of N points  ->  N/2 pairwise sums
+#     den      = x2 - x1           (one Pallas pass, emits degeneracy flags)
+#     dinv     = batch_inv(den)    (scan-kernel product tree, one Fermat)
+#     lambda   = (y2 - y1) * dinv
+#     x3       = lambda^2 - x1 - x2
+#     y3       = lambda*(x1 - x3) - y1   (one fused Pallas pass)
+#
+# Degenerate pairs: identity operands pass through via flags; x1 == x2
+# (doubling or cancellation) cannot be *engineered* without knowing a
+# discrete-log relation between SRS elements, and happens by chance with
+# probability ~2^-254 per pair — the den kernel substitutes 1 so the batch
+# inversion stays valid, flags the pair, and the (negligible, verifier-
+# detectable) result is declared infinity.  The last TAIL points per MSM
+# fall back to the complete-add scan kernels, which are exact.
+#
+# Selection feeds the tree without any gather: the table is stored
+# VERTICALLY as (D, 32, K) uint16 — for each leaf-block, a where-chain over
+# the D digit rows runs at full 128-lane width and leaves the selected rows
+# already limb-major, so no in-kernel transpose and table HBM traffic is
+# one stream per MSM batch.
+
+TAIL = 512  # per-MSM leaf count handed to the complete-add scan
+
+
+def _select_kernel(P, D, tab_ref, dig_ref, x_ref, y_ref, inf_ref):
+    """tab (D, 32, TK) u16; dig (P, TK) i32 -> x,y (L, P, TK) u32 (sign
+    applied), inf (P, TK) u32.  The where-chain runs vectorized over the
+    whole (P, 32, TK) accumulator — one big op per digit row instead of P
+    small ones (per-op Mosaic overhead dominated the per-p form)."""
+    f = rfq
+    d = dig_ref[:, :]                       # (P, TK) i32
+    mag = jnp.abs(d)
+    tab0 = tab_ref[0, :, :]
+    acc = jnp.broadcast_to(tab0[None], (P,) + tab0.shape)  # (P, 32, TK) u16
+    for dd in range(2, D + 1):
+        acc = jnp.where((mag == dd)[:, None, :], tab_ref[dd - 1, :, :][None], acc)
+    acc32 = acc.astype(jnp.uint32)
+    for p in range(P):
+        x = [acc32[p, i, :] for i in range(L)]
+        y = [acc32[p, L + i, :] for i in range(L)]
+        y = f.select(d[p] < 0, f.neg(y), y)
+        for i in range(L):
+            x_ref[i, p, :] = x[i]
+            y_ref[i, p, :] = y[i]
+    inf_ref[:, :] = (mag == 0).astype(jnp.uint32)
+
+
+def _pair_den_kernel(x1_ref, x2_ref, inf1_ref, inf2_ref, den_ref, flag_ref):
+    """Halves-paired denominators: den = x2 - x1, nonzero-substituted;
+    flags (P, G) bitpack: 1=inf1, 2=inf2, 4=degenerate-x.  All rows are
+    (P, G)-shaped — the field ops vectorize over the P axis natively."""
+    f = rfq
+    x1 = [x1_ref[i] for i in range(L)]
+    x2 = [x2_ref[i] for i in range(L)]
+    den = f.sub(x2, x1)
+    inf1 = inf1_ref[:, :] != 0
+    inf2 = inf2_ref[:, :] != 0
+    bad = f.is_zero(den) & ~inf1 & ~inf2
+    sub = inf1 | inf2 | bad
+    den = f.select(sub, f.one_mont_like(den), den)
+    for i in range(L):
+        den_ref[i, :, :] = den[i]
+    flag_ref[:, :] = (
+        inf1.astype(jnp.uint32)
+        + 2 * inf2.astype(jnp.uint32)
+        + 4 * bad.astype(jnp.uint32)
+    )
+
+
+def _pair_combine_kernel(x1_ref, x2_ref, y1_ref, y2_ref, dinv_ref, flag_ref,
+                         ox, oy, oinf):
+    """Affine pairwise add with flag-driven pass-through."""
+    f = rfq
+    x1 = [x1_ref[i] for i in range(L)]
+    x2 = [x2_ref[i] for i in range(L)]
+    y1 = [y1_ref[i] for i in range(L)]
+    y2 = [y2_ref[i] for i in range(L)]
+    dinv = [dinv_ref[i] for i in range(L)]
+    fl = flag_ref[:, :]
+    inf1 = (fl & 1) != 0
+    inf2 = (fl & 2) != 0
+    bad = (fl & 4) != 0
+
+    lam = f.mul(f.sub(y2, y1), dinv)
+    x3 = f.sub(f.sub(f.mul(lam, lam), x1), x2)
+    y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+
+    # pass-throughs: P1 + inf = P1, inf + P2 = P2
+    xo = f.select(inf2, x1, f.select(inf1, x2, x3))
+    yo = f.select(inf2, y1, f.select(inf1, y2, y3))
+    info = (inf1 & inf2) | bad
+    for i in range(L):
+        ox[i, :, :] = xo[i]
+        oy[i, :, :] = yo[i]
+    oinf[:, :] = info.astype(jnp.uint32)
+
+
+def _pair_den_small_kernel(H, x_ref, inf_ref, den_ref, flag_ref):
+    """Single-block variant for levels too small to tile (H < 128):
+    halves sliced in-kernel."""
+    f = rfq
+    x1 = [x_ref[i, :, :H] for i in range(L)]
+    x2 = [x_ref[i, :, H:] for i in range(L)]
+    den = f.sub(x2, x1)
+    inf1 = inf_ref[:, :H] != 0
+    inf2 = inf_ref[:, H:] != 0
+    bad = f.is_zero(den) & ~inf1 & ~inf2
+    den = f.select(inf1 | inf2 | bad, f.one_mont_like(den), den)
+    for i in range(L):
+        den_ref[i, :, :] = den[i]
+    flag_ref[:, :] = (
+        inf1.astype(jnp.uint32)
+        + 2 * inf2.astype(jnp.uint32)
+        + 4 * bad.astype(jnp.uint32)
+    )
+
+
+def _pair_combine_small_kernel(H, x_ref, y_ref, dinv_ref, flag_ref, ox, oy, oinf):
+    f = rfq
+    x1 = [x_ref[i, :, :H] for i in range(L)]
+    x2 = [x_ref[i, :, H:] for i in range(L)]
+    y1 = [y_ref[i, :, :H] for i in range(L)]
+    y2 = [y_ref[i, :, H:] for i in range(L)]
+    dinv = [dinv_ref[i] for i in range(L)]
+    fl = flag_ref[:, :]
+    inf1 = (fl & 1) != 0
+    inf2 = (fl & 2) != 0
+    bad = (fl & 4) != 0
+    lam = f.mul(f.sub(y2, y1), dinv)
+    x3 = f.sub(f.sub(f.mul(lam, lam), x1), x2)
+    y3 = f.sub(f.mul(lam, f.sub(x1, x3)), y1)
+    xo = f.select(inf2, x1, f.select(inf1, x2, x3))
+    yo = f.select(inf2, y1, f.select(inf1, y2, y3))
+    info = (inf1 & inf2) | bad
+    for i in range(L):
+        ox[i, :, :] = xo[i]
+        oy[i, :, :] = yo[i]
+    oinf[:, :] = info.astype(jnp.uint32)
+
+
+def _affine_level_small(x, y, inf):
+    Lh, P, Kc = x.shape
+    H = Kc // 2
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    den, flags = pallas_call(
+        functools.partial(_pair_den_small_kernel, H),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((P, H), jnp.uint32),
+        ),
+        in_specs=[full, full],
+        out_specs=(full, full),
+    )(x, inf)
+    dinv = pbatch_inv_fq(den.reshape(L, P * H))
+    return pallas_call(
+        functools.partial(_pair_combine_small_kernel, H),
+        out_shape=(
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((P, H), jnp.uint32),
+        ),
+        in_specs=[full, full, full, full],
+        out_specs=(full, full, full),
+    )(x, y, dinv.reshape(L, P, H), flags)
+
+
+def _affine_level(x, y, inf):
+    """One tree level pairing each MSM segment's first half with its second
+    half (contiguous slices via block index maps — no relayout copies):
+    (L, P, Kc), (P, Kc) -> (L, P, Kc/2), (P, Kc/2)."""
+    Lh, P, Kc = x.shape
+    H = Kc // 2
+    if H % 128 != 0:
+        return _affine_level_small(x, y, inf)
+    G = _pick_G(H)
+    grid = (H // G,)
+    off = H // G  # block offset of the second half
+
+    spec1 = pl.BlockSpec((L, P, G), lambda g: (0, 0, g), memory_space=pltpu.VMEM)
+    spec2 = pl.BlockSpec((L, P, G), lambda g, _o=off: (0, 0, g + _o),
+                         memory_space=pltpu.VMEM)
+    ispec1 = pl.BlockSpec((P, G), lambda g: (0, g), memory_space=pltpu.VMEM)
+    ispec2 = pl.BlockSpec((P, G), lambda g, _o=off: (0, g + _o),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((L, P, G), lambda g: (0, 0, g), memory_space=pltpu.VMEM)
+    oispec = pl.BlockSpec((P, G), lambda g: (0, g), memory_space=pltpu.VMEM)
+
+    den, flags = pallas_call(
+        _pair_den_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((P, H), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[spec1, spec2, ispec1, ispec2],
+        out_specs=(ospec, oispec),
+    )(x, x, inf, inf)
+    C = P * H
+    den_flat = den.reshape(L, C)
+    if use_pallas() and C > 4096 and C % SU == 0:
+        dinv = pbatch_inv_fq_fast(den_flat)
+    else:
+        dinv = pbatch_inv_fq(den_flat)
+    xo, yo, info = pallas_call(
+        _pair_combine_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((L, P, H), jnp.uint32),
+            jax.ShapeDtypeStruct((P, H), jnp.uint32),
+        ),
+        grid=grid,
+        in_specs=[spec1, spec2, spec1, spec2, ospec, oispec],
+        out_specs=(ospec, ospec, oispec),
+    )(x, x, y, y, dinv.reshape(L, P, H), flags)
+    return xo, yo, info
 
 
 # ------------------------------------------------------------ digit recode
@@ -678,23 +1021,81 @@ class FixedBaseTable:
         chunk_jit = jax.jit(functools.partial(_build_chunk, CH=CH))
         one = jnp.broadcast_to(_mont_one_col(), bax.shape)
         TX, TY, TZ = bax, bay, one
-        chunks = []
-        for _ in range(D // CH):
-            TX, TY, TZ, packed = chunk_jit(TX, TY, TZ, bax, bay)
-            chunks.append(packed)
-        dmaj = jnp.concatenate(chunks, axis=0)  # (D*W*n, 32), d-major rows
-        # Permute to LEAF-MAJOR rows (leaf*D + (d-1)): each leaf's D digit
-        # options are a contiguous D*64-byte block, so the per-MSM row
-        # gather walks strictly increasing addresses (one 64 B row out of
-        # each consecutive block) instead of jumping W*n rows between
-        # neighbours — sequential-prefetch traffic instead of random 64 B
-        # HBM reads, which dominated the MSM wall-clock.
-        self.table = jax.jit(
-            lambda t: t.reshape(D, W * n, 32).transpose(1, 0, 2).reshape(D * W * n, 32)
-        )(dmaj)
-        self._msm_jit = jax.jit(self._msm_impl)
+        K = W * n
+        self.vertical = use_pallas()
+        if self.vertical:
+            # VERTICAL layout (D, 32, K) u16 for the where-chain select:
+            # digit row d holds the 32 packed x||y limb-halves of
+            # (d+1) * 2^(c*w) * P_i at lane k = w*n + i.  Assembled chunk
+            # by chunk with buffer donation (no 2x table peak in HBM).
+            buf = jnp.zeros((D, 32, K), jnp.uint16)
+            place = jax.jit(
+                lambda b, ch, d0: jax.lax.dynamic_update_slice(
+                    b, ch.reshape(CH, K, 32).transpose(0, 2, 1), (d0, 0, 0)
+                ),
+                donate_argnums=0,
+            )
+            for i in range(D // CH):
+                TX, TY, TZ, packed = chunk_jit(TX, TY, TZ, bax, bay)
+                buf = place(buf, packed, jnp.int32(i * CH))
+            self.table = buf
+        else:
+            chunks = []
+            for _ in range(D // CH):
+                TX, TY, TZ, packed = chunk_jit(TX, TY, TZ, bax, bay)
+                chunks.append(packed)
+            dmaj = jnp.concatenate(chunks, axis=0)  # (D*W*n, 32), d-major
+            # leaf-major rows (leaf*D + (d-1)) for the CPU gather path
+            self.table = jax.jit(
+                lambda t: t.reshape(D, K, 32).transpose(1, 0, 2).reshape(D * K, 32)
+            )(dmaj)
+        self._msm_jit = jax.jit(
+            self._msm_affine_impl if self.vertical else self._msm_impl
+        )
 
     # ------------------------------------------------------------- querying
+
+    def _msm_affine_impl(self, table, scalars_mont):
+        """TPU path: gather-free vertical-table select + batch-affine
+        pairwise tree + complete-add tail.  (P, n, L) -> (L, P) proj."""
+        P = scalars_mont.shape[0]
+        n, W, D = self.n, self.W, self.D
+        K = W * n
+        digits = _scalars_to_digits(scalars_mont, self.c, self.bits)  # (P, n, W)
+        d_t = jnp.moveaxis(digits, -1, 1).reshape(P, K).astype(jnp.int32)
+
+        TK = min(128, K)
+        x, y, inf = pallas_call(
+            functools.partial(_select_kernel, P, D),
+            out_shape=(
+                jax.ShapeDtypeStruct((L, P, K), jnp.uint32),
+                jax.ShapeDtypeStruct((L, P, K), jnp.uint32),
+                jax.ShapeDtypeStruct((P, K), jnp.uint32),
+            ),
+            grid=(K // TK,),
+            in_specs=[
+                pl.BlockSpec((D, 32, TK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, TK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((L, P, TK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, P, TK), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, TK), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ),
+        )(table, d_t)
+        Kc = K
+        while Kc > TAIL:
+            x, y, inf = _affine_level(x, y, inf)
+            Kc //= 2
+
+        per = Kc
+        S = _pick_S(per)
+        J = per // S
+        d_plane = jnp.where(inf == 0, 1, 0).astype(jnp.int32)  # (P, per)
+        d_lay = jnp.moveaxis(_to_scan_layout(d_plane, S), 1, 0).reshape(S, P * J)
+        gx = jnp.moveaxis(_to_scan_layout(x, S), 2, 1).reshape(L, S, P * J)
+        gy = jnp.moveaxis(_to_scan_layout(y, S), 2, 1).reshape(L, S, P * J)
+        return _reduce_leaves(gx, gy, d_lay, S, P, J)
 
     def _msm_impl(self, table, scalars_mont):
         """(P, n, L) Fr Montgomery -> (L, P) projective sums."""
@@ -731,10 +1132,20 @@ class FixedBaseTable:
 
     def msm_mont(self, scalars_mont):
         """scalars_mont: (P, n, L) horizontal Fr Montgomery limbs.
-        Returns a list of P host affine points (None = identity)."""
+        Returns a list of P host affine points (None = identity).
+        On the TPU path every batch is padded to P = 8 (zero scalars ->
+        identity): the prover's commit rounds have P in {1,2,3,5}, and one
+        fixed batch shape means ONE compiled kernel set instead of four —
+        the padding costs ~2x device work on small rounds but saves ~15 min
+        of cold Mosaic compiles."""
         P = scalars_mont.shape[0]
+        Pb = 8 if (self.vertical and P <= 8) else 1 << max(P - 1, 0).bit_length()
+        if Pb > P:
+            scalars_mont = jnp.concatenate(
+                [scalars_mont, jnp.zeros((Pb - P,) + scalars_mont.shape[1:], jnp.uint32)]
+            )
         X, Y, Z = self._msm_jit(self.table, scalars_mont)
-        return _extract_host(X, Y, Z, P)
+        return _extract_host(X, Y, Z, Pb)[:P]
 
     def msm_ints(self, rows: List[List[int]]):
         arr = fr_ctx.to_mont_limbs([s % R_MOD for row in rows for s in row]).reshape(

@@ -58,12 +58,36 @@ class NTTDomain:
         # form's early stages pad up to 128x and OOM at the quotient domain),
         # flat Stockham stage twiddles for small ones.
         from .stockham import fourstep_plan, stage_twiddles
+        from ..ff.pallas_field import use_pallas
 
         self._fourstep = n >= 4096
-        if n > 1 and self._fourstep:
+        # Pallas VMEM-resident path (TPU / interpret): all butterflies in
+        # fused kernels, coset/n_inv scales ride as pre/post ladders.
+        self._pallas = use_pallas() and n >= 4096
+        if self._pallas:
+            from .pallas_ntt import build_plan, pallas_fft
+
+            self._pplan_fwd = build_plan(self.master, n, n, 1, inverse=False)
+            self._pplan_inv = build_plan(self.master, n, n, 1, inverse=True)
+            n_inv_mont = self.n_inv * (1 << 256) % p
+
+            def _pj(x, pre=None, post=None, inverse=False, const=None):
+                xv = jnp.moveaxis(x, -1, 0)
+                plan = self._pplan_inv if inverse else self._pplan_fwd
+                out = pallas_fft(xv, plan, pre=pre, post=post, const_mont=const)
+                return jnp.moveaxis(out, 0, -1)
+
+            self._pj_fft = jax.jit(lambda x: _pj(x))
+            self._pj_ifft = jax.jit(lambda x: _pj(x, inverse=True, const=n_inv_mont))
+            self._pj_coset_fft = jax.jit(lambda x, pre: _pj(x, pre=pre))
+            self._pj_coset_ifft = jax.jit(
+                lambda x, post: _pj(x, post=post, inverse=True)
+            )
+            self._post_ladder_cache = {}
+        if n > 1 and self._fourstep and not self._pallas:
             self._plan_fwd = fourstep_plan(self.master, n, inverse=False)
             self._plan_inv = fourstep_plan(self.master, n, inverse=True)
-        elif n > 1:
+        elif n > 1 and not self._pallas:
             self._tws_fwd = stage_twiddles(self.master, n, inverse=False)
             self._tws_inv = stage_twiddles(self.master, n, inverse=True)
         self.n_inv_arr = ctx.to_mont_limbs(self.n_inv)
@@ -102,10 +126,14 @@ class NTTDomain:
 
     def fft(self, coeffs):
         """coeffs (m<=n, L) -> evaluations (n, L) at [w^0..w^{n-1}]."""
+        if self._pallas:
+            return self._pj_fft(self._pad(coeffs)[None])[0]
         return self._fft_jit(self._pad(coeffs))
 
     def ifft(self, evals):
         """evaluations (n, L) -> coefficients (n, L)."""
+        if self._pallas:
+            return self._pj_ifft(evals[None])[0]
         return self._ifft_jit(evals)
 
     @staticmethod
@@ -127,15 +155,21 @@ class NTTDomain:
     def fft_batch(self, coeffs):
         """(B, m<=n, L) -> (B, n, L)."""
         x, b = self._pad_batch(coeffs)
+        if self._pallas:
+            return self._pj_fft(x)[:b]
         return self._fft_batch_jit(x)[:b]
 
     def ifft_batch(self, evals):
         x, b = self._pad_batch(evals)
+        if self._pallas:
+            return self._pj_ifft(x)[:b]
         return self._ifft_batch_jit(x)[:b]
 
     def coset_fft_batch(self, coeffs, k: int):
         x, b = self._pad_batch(coeffs)
         powers = self.power_ladder(k)
+        if self._pallas:
+            return self._pj_coset_fft(x, jnp.moveaxis(powers, -1, 0))[:b]
         return self._fft_batch_jit(self.ctx.mul(x, powers[None]))[:b]
 
     def coset_scale(self, coeffs, k: int):
@@ -156,10 +190,28 @@ class NTTDomain:
         return self._ladder_cached(k % self.ctx.p)
 
     def coset_fft(self, coeffs, k: int):
+        if self._pallas:
+            return self.coset_fft_batch(self._pad(coeffs)[None], k)[0]
         return self.fft(self.coset_scale(coeffs, k))
+
+    def _coset_post_ladder(self, k: int):
+        """(L, n) ladder of n_inv * k^-j (the fused coset_ifft post scale)."""
+        key = k % self.ctx.p
+        got = self._post_ladder_cache.get(key)
+        if got is None:
+            k_inv = pow(key, self.ctx.p - 2, self.ctx.p)
+            lad = self.ctx.mul(
+                self.power_ladder(k_inv),
+                jnp.broadcast_to(self.n_inv_arr, (self.n, L)),
+            )
+            got = jnp.moveaxis(lad, -1, 0)
+            self._post_ladder_cache[key] = got
+        return got
 
     def coset_ifft(self, evals, k: int):
         """Inverse of coset_fft: ifft then scale by k^-j."""
+        if self._pallas:
+            return self._pj_coset_ifft(evals[None], self._coset_post_ladder(k))[0]
         coeffs = self.ifft(evals)
         k_inv = pow(k, self.ctx.p - 2, self.ctx.p)
         return self.coset_scale(coeffs, k_inv)

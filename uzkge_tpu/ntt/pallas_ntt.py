@@ -1,0 +1,187 @@
+"""VMEM-resident Pallas NTT: recursive four-step with fused scale ladders.
+
+The round-3 NTT ran the Stockham butterflies as whole-array XLA ops
+(ntt/stockham.py); the CIOS multiply's fori_loop and the per-stage
+concatenates force HBM materialization, capping it at ~64M butterflies/s.
+This module runs every butterfly stage inside Pallas kernels where the full
+multiply chain is VMEM-resident (~1.1e9 Montgomery muls/s measured on v5e).
+
+Structure (same math as stockham.fourstep_fft_v, applied recursively):
+
+    FFT_S over axis -2 of (L, OUT, S, IN), root w^stride:
+      S <= SMAX: ONE Pallas pass — log2(S) unrolled Stockham stages in
+        VMEM, block (L, 1, S, GN); per-stage twiddles are tiny (L, m)
+        broadcast inputs.
+      S > SMAX: split S = S2*S1 -> recurse over S2 (IN'=S1*IN), multiply
+        by T[k2, j1] = w^(stride*j1*k2), transpose S1<->S2 (XLA), recurse
+        over S1, flatten (k1, S2) -> natural order.
+
+Fusions (each saves a full-array XLA Montgomery-mul pass at ~30M muls/s):
+  * the inter-factor twiddle T rides as the *post ladder* of the left
+    branch's final Pallas pass (expanded across IN lanes);
+  * coset scales (k^j / n_inv * k^-j ladders) ride as pre/post ladders of
+    the leftmost/rightmost direct passes — pre/post ladders are flat
+    (L, n) arrays in input/output enumeration, which recursion preserves,
+    so they thread through unchanged and reshape at the direct pass.
+
+Reference semantics: ark-poly Radix2EvaluationDomain natural-order FFT
+(uzkge/src/poly_commit/field_polynomial.rs:552-607); bit-identical to the
+stockham.py path (cross-checked in tests).
+"""
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ff.jax_field import L
+from ..ff.pallas_rows import rfr
+from ..ff.pallas_field import pallas_call
+from .stockham import stage_twiddles_strided
+
+SMAX = 256  # largest single-pass sub-FFT: block (L, 256, 128) = 2 MB
+
+
+def build_plan(master_mont, n_total: int, size: int, stride: int, inverse: bool):
+    """Plan tree for a size-`size` sub-FFT with root master^stride."""
+    if size <= SMAX:
+        tws = stage_twiddles_strided(master_mont, n_total, size, stride, inverse)
+        # drop the final all-ones stage table (m = 1, w^0)
+        return {"S": size, "tws": [jnp.asarray(t) for t in tws[:-1]]}
+    S2 = 64
+    S1 = size // S2
+    plan2 = build_plan(master_mont, n_total, S2, stride * S1, inverse)
+    plan1 = build_plan(master_mont, n_total, S1, stride * S2, inverse)
+    idx = (np.outer(np.arange(S2), np.arange(S1)) * stride) % n_total
+    if inverse:
+        idx = (-idx) % n_total
+    T = jnp.moveaxis(master_mont[idx.reshape(-1)], -1, 0).reshape(L, S2, S1)
+    return {"S": size, "S2": S2, "S1": S1, "plan2": plan2, "plan1": plan1, "T": T}
+
+
+def _direct_kernel(S, nst, has_pre, has_post, const_limbs, *refs):
+    """One in-VMEM Stockham pass over axis -2 of the (L, 1, S, GN) block."""
+    f = rfr
+    x_ref = refs[0]
+    tws = refs[1 : 1 + nst]
+    k = 1 + nst
+    pre_ref = refs[k] if has_pre else None
+    k += 1 if has_pre else 0
+    post_ref = refs[k] if has_post else None
+    k += 1 if has_post else 0
+    o_ref = refs[k]
+
+    x = [x_ref[i, 0] for i in range(L)]  # (S, GN)
+    GN = x[0].shape[-1]
+    if has_pre:
+        x = f.mul(x, [pre_ref[i] for i in range(L)])
+    m, l = S // 2, 1
+    for t in range(int(np.log2(S))):
+        a = [r[: S // 2] for r in x]
+        b = [r[S // 2 :] for r in x]
+        s = f.add(a, b)
+        d = f.sub(a, b)
+        if m > 1:
+            d3 = [r.reshape(m, l, GN) for r in d]
+            twb = [tws[t][i][:, None, None] for i in range(L)]
+            tv3 = f.mul(d3, twb)
+            tv = [r.reshape(S // 2, GN) for r in tv3]
+        else:
+            tv = d
+        x = [
+            jnp.concatenate(
+                [s[i].reshape(m, 1, l, GN), tv[i].reshape(m, 1, l, GN)], axis=1
+            ).reshape(S, GN)
+            for i in range(L)
+        ]
+        m //= 2
+        l *= 2
+    if has_post:
+        x = f.mul(x, [post_ref[i] for i in range(L)])
+    if const_limbs is not None:
+        x = f.mul(x, [jnp.full_like(x[0], c) for c in const_limbs])
+    for i in range(L):
+        o_ref[i, 0] = x[i]
+
+
+def _direct_pass(x, plan, pre, post, const_limbs):
+    """x: (L, OUT, S, IN) -> same shape, FFT over axis 2.
+    pre/post: None or flat (L, S*IN) ladders (input/output enumeration)."""
+    S = plan["S"]
+    Lh, OUT, _, IN = x.shape
+    GN = 128 if IN % 128 == 0 else IN
+    nst = len(plan["tws"])
+    tw_specs = [
+        pl.BlockSpec(t.shape, lambda o, g: (0, 0), memory_space=pltpu.VMEM)
+        for t in plan["tws"]
+    ]
+    args = [x] + list(plan["tws"])
+    in_specs = [
+        pl.BlockSpec((L, 1, S, GN), lambda o, g: (0, o, 0, g), memory_space=pltpu.VMEM)
+    ] + tw_specs
+    lad_spec = pl.BlockSpec((L, S, GN), lambda o, g: (0, 0, g), memory_space=pltpu.VMEM)
+    if pre is not None:
+        args.append(pre.reshape(L, S, IN))
+        in_specs.append(lad_spec)
+    if post is not None:
+        args.append(post.reshape(L, S, IN))
+        in_specs.append(lad_spec)
+    kern = functools.partial(
+        _direct_kernel, S, nst, pre is not None, post is not None, const_limbs
+    )
+    return pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, jnp.uint32),
+        grid=(OUT, IN // GN),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (L, 1, S, GN), lambda o, g: (0, o, 0, g), memory_space=pltpu.VMEM
+        ),
+    )(*args)
+
+
+def _expand_T(plan, IN: int):
+    """(L, S2, S1) inter-factor twiddle -> flat (L, S2*S1*IN) post ladder."""
+    cache = plan.setdefault("_Texp", {})
+    if IN not in cache:
+        T = plan["T"]
+        cache[IN] = jnp.broadcast_to(
+            T[:, :, :, None], (L, T.shape[1], T.shape[2], IN)
+        ).reshape(L, -1)
+    return cache[IN]
+
+
+def fft_mid(x, plan, pre=None, post=None, const_limbs=None):
+    """FFT over axis -2 of (L, OUT, S, IN) per `plan`; natural order."""
+    if "tws" in plan:
+        return _direct_pass(x, plan, pre, post, const_limbs)
+    S2, S1 = plan["S2"], plan["S1"]
+    Lh, OUT, S, IN = x.shape
+    a = x.reshape(L, OUT, S2, S1 * IN)
+    # left branch: outer pre rides down; T becomes its post ladder
+    a = fft_mid(a, plan["plan2"], pre=pre, post=_expand_T(plan, IN))
+    a = a.reshape(L, OUT, S2, S1, IN)
+    a = jnp.swapaxes(a, 2, 3).reshape(L, OUT, S1, S2 * IN)
+    # right branch: outer post/const ride down
+    a = fft_mid(a, plan["plan1"], post=post, const_limbs=const_limbs)
+    return a.reshape(L, OUT, S, IN)
+
+
+def pallas_fft(xv, plan, pre=None, post=None, const_mont: Optional[int] = None):
+    """xv: (L, B, n) vertical Montgomery limbs -> natural-order (i)NTT.
+    pre/post: optional (L, n) scale ladders (input/output enumeration);
+    const_mont: optional Montgomery-form python-int post scale (e.g. 1/n)."""
+    from ..ff.jax_field import int_to_limbs_np
+
+    const_limbs = (
+        [np.uint32(v) for v in int_to_limbs_np(const_mont)]
+        if const_mont is not None
+        else None
+    )
+    Lh, B, n = xv.shape
+    out = fft_mid(xv[:, :, :, None], plan, pre=pre, post=post, const_limbs=const_limbs)
+    return out.reshape(L, B, n)

@@ -49,15 +49,18 @@ def _fb_enabled(n: int) -> bool:
 
 def _fb_window(n: int) -> int:
     """Window width c for the fixed-base table: biggest c whose table
-    (2^(c-1) * ceil(254/c) * n rows of 64 B) fits a ~1.5 GB HBM budget.
-    n = 4096 -> c = 8 (1.07 GB); n = 8192/16384 -> c = 4 (0.27/0.54 GB)."""
+    (2^(c-1) * ceil(254/c) * n rows of 64 B) fits a ~4.5 GB HBM budget —
+    c = 8 through n = 16384 (4.3 GB on a 16 GB v5e).  Halving the window
+    count is the right trade here: the batch-affine reduction is VPU-bound
+    at ~6 muls per folded leaf, while the extra table stream is only ~5 ms
+    at HBM bandwidth."""
     from ..ff.pallas_field import use_pallas
 
     if not use_pallas():
         return 4  # CPU scan build: favor the 8x smaller/faster table
     for c in (8, 4):
         rows = (1 << (c - 1)) * ((254 + c - 1) // c) * n
-        if rows * 64 <= 1.5e9:
+        if rows * 64 <= 4.5e9:
             return c
     return 4
 
@@ -172,11 +175,11 @@ class KZG:
         transcript.append_u64(max_degree)
         transcript.append_field_elem(point)
 
-    def batch_prove(self, transcript: Transcript, poly_blobs, point: int,
-                    max_degree: int, use_lagrange: bool = True):
-        """Open several polynomials at one point (pcs.rs:107-168).
-        `poly_blobs`: list of packed 32-byte-LE coefficient blobs (native
-        host-math format)."""
+    def _prepare_open(self, transcript: Transcript, poly_blobs, point: int,
+                      max_degree: int, use_lagrange: bool = True):
+        """Host phase of batch_prove: transcript interaction + quotient
+        division.  Returns ("lagrange", head_bytes, blinds, max_pow2) or
+        ("coefs", coef_list)."""
         from .. import native_host as nh
 
         self._transcript_append_params(transcript, max_degree, point)
@@ -209,14 +212,48 @@ class KZG:
             for i, v in enumerate(blinds):
                 c = (int.from_bytes(head[i * 32 : (i + 1) * 32], "little") - v) % R_MOD
                 head[i * 32 : (i + 1) * 32] = c.to_bytes(32, "little")
-            dom = get_domain(max_pow2)
-            evals = dom.fft(fr_ctx.to_mont_limbs_from_bytes(bytes(head)))
-            cm = self.commit_evals(evals)
-            return self.apply_blind_factors(cm, blinds, max_pow2)
-        import numpy as np
-
+            return ("lagrange", bytes(head), blinds, max_pow2)
         coefs = [int.from_bytes(q_blob[i * 32 : (i + 1) * 32], "little") for i in range(nq)]
-        return self.commit_coefs(coefs)
+        return ("coefs", coefs)
+
+    def _commit_prepared(self, prepared):
+        """Commit a list of _prepare_open results; Lagrange-path entries
+        share one batched MSM."""
+        out = [None] * len(prepared)
+        lag = [(i, p) for i, p in enumerate(prepared) if p[0] == "lagrange"]
+        if lag:
+            mp = lag[0][1][3]
+            assert all(p[3] == mp for _, p in lag)
+            heads = jnp.stack(
+                [fr_ctx.to_mont_limbs_from_bytes(p[1]) for _, p in lag]
+            )
+            evals = get_domain(mp).fft_batch(heads)
+            cms = self.commit_evals_batch(evals)
+            for (i, p), cm in zip(lag, cms):
+                out[i] = self.apply_blind_factors(cm, p[2], p[3])
+        for i, p in enumerate(prepared):
+            if p[0] == "coefs":
+                out[i] = self.commit_coefs(p[1])
+        return out
+
+    def batch_prove(self, transcript: Transcript, poly_blobs, point: int,
+                    max_degree: int, use_lagrange: bool = True):
+        """Open several polynomials at one point (pcs.rs:107-168).
+        `poly_blobs`: list of packed 32-byte-LE coefficient blobs (native
+        host-math format)."""
+        prep = self._prepare_open(transcript, poly_blobs, point, max_degree, use_lagrange)
+        return self._commit_prepared([prep])[0]
+
+    def batch_prove_multi(self, transcript: Transcript, opens, max_degree: int):
+        """Several batch_prove calls whose quotient commitments ride one
+        batched MSM.  `opens`: list of (poly_blobs, point).  Transcript
+        interaction is sequential (identical bytes to separate calls —
+        opening commitments are never appended inside batch_prove)."""
+        prepared = [
+            self._prepare_open(transcript, blobs, point, max_degree)
+            for blobs, point in opens
+        ]
+        return self._commit_prepared(prepared)
 
     @staticmethod
     def batch_combine(transcript: Transcript, commitments: List, max_degree: int, point: int,

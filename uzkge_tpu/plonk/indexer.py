@@ -240,4 +240,6 @@ def refresh_prover_params_public_key(pp: ProverParams, cs: TurboCS, kzg, shuffle
     pp.q_pk_coefs = coefs
     pp.q_pk_coset = coset
     pp.verifier_params.cm_shuffle_public_key_vec = cms
+    if hasattr(pp, "_coef_blob_cache"):  # prover's static-blob cache is stale
+        delattr(pp, "_coef_blob_cache")
     return cms

@@ -267,6 +267,50 @@ def _horner_eval(coefs: List[int], x: int) -> int:
     return acc
 
 
+def _fetch_blobs(arrays):
+    """ONE device->host sync for many (m_i, L) Montgomery arrays (each
+    host<->device round trip costs ~25 ms of tunnel latency, so the prover
+    never fetches polynomials one at a time)."""
+    lens = [a.shape[0] for a in arrays]
+    blob = fr_ctx.from_mont_bytes(jnp.concatenate(arrays, axis=0))
+    out = []
+    off = 0
+    for m in lens:
+        out.append(blob[off * 32 : (off + m) * 32])
+        off += m
+    return out
+
+
+def _pp_coef_blobs(pp) -> dict:
+    """Byte blobs of the proving key's static coefficient polynomials,
+    fetched once per ProverParams and cached on the object."""
+    got = getattr(pp, "_coef_blob_cache", None)
+    if got is None:
+        arrays = [pp.q_coefs.reshape(-1, L), pp.qb_coefs,
+                  pp.q_prk_coefs.reshape(-1, L), pp.s_coefs.reshape(-1, L)]
+        if pp.with_shuffle:
+            arrays += [pp.q_pk_coefs.reshape(-1, L),
+                       pp.q_gen_coefs.reshape(-1, L), pp.q_ecc_coefs]
+        blobs = _fetch_blobs(arrays)
+        n32 = pp.n * 32
+
+        def split(b, k):
+            return [b[i * n32 : (i + 1) * n32] for i in range(k)]
+
+        got = {
+            "q": split(blobs[0], 9),
+            "qb": blobs[1],
+            "prk": split(blobs[2], 4),
+            "s": split(blobs[3], 5),
+        }
+        if pp.with_shuffle:
+            got["q_pk"] = split(blobs[4], 12)
+            got["q_gen"] = split(blobs[5], 12)
+            got["q_ecc"] = blobs[6]
+        object.__setattr__(pp, "_coef_blob_cache", got)
+    return got
+
+
 def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
            witness: List[int]) -> dict:
     """Produce a PlonkProof dict (field names mirror indexer.rs:33-73)."""
@@ -297,36 +341,47 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         assert blinded_polys is not None
         return [kzg.commit_coefs(fr_ctx.from_mont_limbs(p)) for p in blinded_polys]
 
-    # --- round 1: witness polynomials
+    # --- round 1 + 1b: witness (and shuffle witness-selector) polynomials.
+    # Both commit batches are independent of the transcript, so they ride
+    # ONE batched MSM (the TPU MSM pads to batch 8 anyway).
     with stage("r1_witness_host"):
         extended = cs.extend_witness(witness)
         w_evals_dev = fr_ctx.to_mont_limbs(extended).reshape(N_WIRES_PER_GATE, n, L)
-    # (the packed byte form is rebuilt for the native z-poly in round 2)
+        if with_shuffle:
+            wsel_rows = cs.compute_witness_selectors()
+            wsel_flat = [v for row in wsel_rows for v in row]
+            wsel_evals_dev = fr_ctx.to_mont_limbs(wsel_flat).reshape(3, n, L)
     with stage("r1_ifft", block=None):
         w_coefs_dev = dom.ifft_batch(w_evals_dev)
         w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
         w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
-    with stage("r1_commit"):
-        cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds, w_polys)
-    for cm in cm_w_vec:
-        transcript.append_commitment(cm)
-
-    # --- round 1b: witness selector polynomials (shuffle only)
-    w_sel_polys = []
-    cm_w_sel_vec = []
-    if with_shuffle:
-        with stage("r1b_wsel_host"):
-            wsel_rows = cs.compute_witness_selectors()
-            wsel_flat = [v for row in wsel_rows for v in row]
-            wsel_evals_dev = fr_ctx.to_mont_limbs(wsel_flat).reshape(3, n, L)
-        with stage("r1b_ifft"):
+        w_sel_polys = []
+        if with_shuffle:
             wsel_coefs_dev = dom.ifft_batch(wsel_evals_dev)
             wsel_blinds = [[rand_fr(), rand_fr()] for _ in range(3)]
             w_sel_polys = [_hide(wsel_coefs_dev[i], wsel_blinds[i], n) for i in range(3)]
-        with stage("r1b_commit"):
-            cm_w_sel_vec = commit_evals_with_blinds(wsel_evals_dev, wsel_blinds, w_sel_polys)
-        for cm in cm_w_sel_vec:
-            transcript.append_commitment(cm)
+    cm_w_sel_vec = []
+    with stage("r1_commit"):
+        if with_shuffle and kzg.lagrange_n == n:
+            cms = kzg.commit_evals_batch(
+                jnp.concatenate([w_evals_dev, wsel_evals_dev], axis=0)
+            )
+            cm_w_vec = [
+                kzg.apply_blind_factors(cm, b, n) for cm, b in zip(cms[:5], w_blinds)
+            ]
+            cm_w_sel_vec = [
+                kzg.apply_blind_factors(cm, b, n) for cm, b in zip(cms[5:], wsel_blinds)
+            ]
+        else:
+            cm_w_vec = commit_evals_with_blinds(w_evals_dev, w_blinds, w_polys)
+            if with_shuffle:
+                cm_w_sel_vec = commit_evals_with_blinds(
+                    wsel_evals_dev, wsel_blinds, w_sel_polys
+                )
+    for cm in cm_w_vec:
+        transcript.append_commitment(cm)
+    for cm in cm_w_sel_vec:
+        transcript.append_commitment(cm)
 
     # --- round 2: beta, gamma, z polynomial
     beta = transcript.get_challenge(P)
@@ -395,12 +450,14 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         blob[i * 32 : (i + 1) * 32] = int(v).to_bytes(32, "little")
 
     # split into 5 chunks of (n+2) coefficients and commit (helpers.rs:1323-1408)
+    # — all 5 Lagrange-path chunk commits ride ONE batched MSM
     _t_split = stage("r3_t_split_commit")
     _t_split.__enter__()
     nt = n + 2
-    cm_t_vec = []
     t_chunk_blobs = []
     prev_blind = 0
+    pending = []  # (idx, head_bytes, blinds, max_pow2) for the Lagrange path
+    cm_t_vec = [None] * N_WIRES_PER_GATE
     for i in range(N_WIRES_PER_GATE):
         start_c = i * nt
         end_c = nt_len if i == N_WIRES_PER_GATE - 1 else (i + 1) * nt
@@ -416,7 +473,7 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
             else:
                 set_blob_coef(chunk, 0, (blob_coef(chunk, 0) - prev_blind) % P)
         prev_blind = b
-        # trim + commit (lagrange path with blind shift, like batch_prove)
+        # trim (lagrange path with blind shift, like batch_prove)
         cl = len(chunk) // 32
         while cl > 1 and chunk[(cl - 1) * 32 : cl * 32] == b"\x00" * 32:
             cl -= 1
@@ -432,12 +489,19 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
             head = bytearray(chunk[: max_pow2 * 32])
             for j, v in enumerate(blinds):
                 set_blob_coef(head, j, (blob_coef(head, j) - v) % P)
-            evals = get_domain(max_pow2).fft(fr_ctx.to_mont_limbs_from_bytes(bytes(head)))
-            cm = kzg.apply_blind_factors(kzg.commit_evals(evals), blinds, max_pow2)
+            pending.append((i, bytes(head), blinds, max_pow2))
         else:
-            cm = kzg.commit_coefs([blob_coef(chunk, j) for j in range(cl)])
-        cm_t_vec.append(cm)
+            cm_t_vec[i] = kzg.commit_coefs([blob_coef(chunk, j) for j in range(cl)])
         t_chunk_blobs.append(chunk)
+    if pending:
+        mp = pending[0][3]
+        heads_dev = jnp.stack(
+            [fr_ctx.to_mont_limbs_from_bytes(h) for _, h, _, _ in pending]
+        )
+        evals = get_domain(mp).fft_batch(heads_dev)
+        cms = kzg.commit_evals_batch(evals)
+        for (i, _, blinds, mpc), cm in zip(pending, cms):
+            cm_t_vec[i] = kzg.apply_blind_factors(cm, blinds, mpc)
     _t_split.__exit__(None, None, None)
     for cm in cm_t_vec:
         transcript.append_commitment(cm)
@@ -448,10 +512,13 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     zeta_omega = zeta * root % P
 
     with stage("r4_from_mont"):
-        w_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_polys]
-        z_poly_blob = fr_ctx.from_mont_bytes(z_poly)
-        s_coef_blobs = [fr_ctx.from_mont_bytes(pp.s_coefs[i]) for i in range(5)]
-        prk_coef_blobs = [fr_ctx.from_mont_bytes(pp.q_prk_coefs[i]) for i in range(4)]
+        static = _pp_coef_blobs(pp)
+        s_coef_blobs = static["s"]
+        prk_coef_blobs = static["prk"]
+        per_proof = _fetch_blobs(list(w_polys) + [z_poly] + list(w_sel_polys))
+        w_poly_blobs = per_proof[:5]
+        z_poly_blob = per_proof[5]
+        w_sel_poly_blobs = per_proof[6:]
 
     with stage("r4_horner"):
         w_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_poly_blobs]
@@ -462,10 +529,8 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         w_polys_eval_zeta_omega = [nh.horner_eval_bytes(w_poly_blobs[i], zeta_omega) for i in range(3)]
 
     if with_shuffle:
-        with stage("r4_from_mont"):
-            q_ecc_blob = fr_ctx.from_mont_bytes(pp.q_ecc_coefs)
-            w_sel_poly_blobs = [fr_ctx.from_mont_bytes(p) for p in w_sel_polys]
         with stage("r4_horner"):
+            q_ecc_blob = static["q_ecc"]
             q_ecc_poly_eval_zeta = nh.horner_eval_bytes(q_ecc_blob, zeta)
             w_sel_polys_eval_zeta = [nh.horner_eval_bytes(b, zeta) for b in w_sel_poly_blobs]
 
@@ -496,13 +561,13 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     )
     # contributor coefficient rows in the canonical r_scalars order
     with stage("r5_r_poly"):
-        rows = [fr_ctx.from_mont_bytes(pp.q_coefs[i]) for i in range(9)]
-        rows.append(fr_ctx.from_mont_bytes(pp.qb_coefs))
+        rows = list(static["q"])
+        rows.append(static["qb"])
         rows.append(prk_coef_blobs[0])
         rows.append(prk_coef_blobs[1])
         if with_shuffle:
-            rows += [fr_ctx.from_mont_bytes(pp.q_pk_coefs[i]) for i in range(12)]
-            rows += [fr_ctx.from_mont_bytes(pp.q_gen_coefs[i]) for i in range(12)]
+            rows += static["q_pk"]
+            rows += static["q_gen"]
         rows.append(s_coef_blobs[4])
         rows.append(z_poly_blob)
         rows += t_chunk_blobs
@@ -518,10 +583,14 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
     polys_to_open.append(r_poly_blob)
 
     with stage("r5_openings"):
-        opening_witness_zeta = kzg.batch_prove(transcript, polys_to_open, zeta, n + 2)
-        opening_witness_zeta_omega = kzg.batch_prove(
-            transcript, [z_poly_blob, w_poly_blobs[0], w_poly_blobs[1], w_poly_blobs[2]],
-            zeta_omega, n + 2,
+        opening_witness_zeta, opening_witness_zeta_omega = kzg.batch_prove_multi(
+            transcript,
+            [
+                (polys_to_open, zeta),
+                ([z_poly_blob, w_poly_blobs[0], w_poly_blobs[1], w_poly_blobs[2]],
+                 zeta_omega),
+            ],
+            n + 2,
         )
 
     proof = {

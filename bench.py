@@ -11,7 +11,10 @@ latency (proof verified), NTT butterflies/s.
 vs_baseline is measured against a single-socket CPU arkworks MSM at
 ~2.0e6 points/s (typical rayon-parallel VariableBaseMSM on a modern
 16-core socket for 2^14 points; the reference publishes no numbers —
-BASELINE.md).
+BASELINE.md).  The NTT baseline is measured live: native/hostmath.c's
+single-core radix-2 Montgomery NTT at the same size, scaled by 16 cores
+(documented upper bound for one socket — ark-poly's parallel FFT scales
+sublinearly).
 
 Stage timings/details go to stderr; stages degrade independently (a failed
 stage reports null for its field instead of killing the headline).
@@ -85,6 +88,17 @@ def bench_msm(n=16384, batch=8, iters=3):
     return pps
 
 
+def bench_ntt_cpu(n=131072):
+    """Single-core C NTT (native/hostmath.c) -> per-socket baseline."""
+    from uzkge_tpu import native_host as nh
+
+    t, bf = nh.ntt_radix2_mont_bench(n)
+    core = bf / t
+    log(f"ntt cpu single-core n={n}: {t*1e3:.1f} ms -> {core/1e6:.1f} M bf/s "
+        f"(x16 socket baseline: {core*16/1e6:.0f} M bf/s)")
+    return core * 16
+
+
 def bench_prove_52(iters=2):
     """52-card shuffle proof wall-clock (the BASELINE north star), steady
     state after one warmup, proof verified.  The refreshed proving key is a
@@ -110,7 +124,7 @@ def bench_prove_52(iters=2):
     t0 = time.time()
     pp = load_pp(cache_path, ProverParams)
     if pp is not None:
-        kzg = load_srs(16384)
+        kzg = load_srs(pp.n)  # SRS size from the cached params' own domain
         log(f"prove52 params (disk cache): {time.time()-t0:.1f}s")
     else:
         pp, cs, kzg = gen_shuffle_prover_params(52)
@@ -130,16 +144,25 @@ def bench_prove_52(iters=2):
     proof, outputs = prove_shuffle(rng, apk, deck, pp, kzg)
     log(f"prove52 warmup (compile): {time.time()-t0:.1f}s")
 
+    from uzkge_tpu.utils import stagetimer
+
     times = []
+    best_stages = None
     for _ in range(iters):
+        stagetimer.reset()
         t0 = time.time()
         proof, outputs = prove_shuffle(rng, apk, deck, pp, kzg)
-        times.append(time.time() - t0)
+        dt = time.time() - t0
+        if not times or dt < min(times):
+            best_stages = stagetimer.snapshot()
+            best_stages["unaccounted"] = round(dt - sum(best_stages.values()), 3)
+        times.append(dt)
     lat = min(times)
     ok = verify_shuffle(pp.verifier_params, kzg, deck, outputs, proof)
     log(f"prove52 latency: {lat:.2f}s (best of {iters}), verify={ok}")
+    log(f"prove52 stages: {json.dumps(best_stages)}")
     assert ok, "52-card proof failed verification"
-    return lat
+    return lat, best_stages
 
 
 def bench_ntt(n=131072, batch=4, iters=3):
@@ -186,7 +209,9 @@ def main():
     log(f"platform: {platform}, devices: {jax.devices()}")
     pps = _stage("msm", bench_msm, 1.0)
     ntt_bfs = _stage("ntt", bench_ntt, 0.9)
-    lat = _stage("prove52", bench_prove_52, 0.55)
+    ntt_cpu = _stage("ntt_cpu", bench_ntt_cpu, 0.9)
+    prove = _stage("prove52", bench_prove_52, 0.55)
+    lat, stages = prove if prove else (None, None)
     print(
         json.dumps(
             {
@@ -196,6 +221,9 @@ def main():
                 "vs_baseline": round(pps / CPU_BASELINE_MSM_PPS, 3) if pps else 0,
                 "proof_latency_s_52cards": round(lat, 3) if lat else None,
                 "ntt_butterflies_per_sec": round(ntt_bfs) if ntt_bfs else None,
+                "ntt_cpu_socket_baseline": round(ntt_cpu) if ntt_cpu else None,
+                "ntt_vs_baseline": round(ntt_bfs / ntt_cpu, 3) if (ntt_bfs and ntt_cpu) else None,
+                "stage_breakdown": stages,
             }
         )
     )

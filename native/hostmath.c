@@ -405,3 +405,38 @@ void alpha_combine(const unsigned char *rows_buf, const u64 *row_lens,
     }
     __builtin_free(acc);
 }
+
+/* Radix-2 DIT NTT over Montgomery-form scalars: the single-core CPU
+ * baseline for the bench's butterflies/s comparison (stand-in for
+ * ark-poly's Radix2EvaluationDomain::fft, field_polynomial.rs:583-607 —
+ * same 4x64 Montgomery arithmetic, same n/2*log2(n) butterfly count).
+ * buf: n Montgomery scalars (LE blobs); tw: n/2 Montgomery twiddles w^j. */
+void ntt_radix2_mont(unsigned char *buf, u64 n, const unsigned char *tw) {
+    fr *a = (fr *)__builtin_malloc(n * sizeof(fr));
+    fr *w = (fr *)__builtin_malloc((n / 2) * sizeof(fr));
+    for (u64 i = 0; i < n; i++) load(&a[i], buf + i * 32);
+    for (u64 i = 0; i < n / 2; i++) load(&w[i], tw + i * 32);
+    /* bit-reversal permutation */
+    u64 lg = 0;
+    while ((1ULL << lg) < n) lg++;
+    for (u64 i = 0; i < n; i++) {
+        u64 r = 0;
+        for (u64 b = 0; b < lg; b++) r |= ((i >> b) & 1) << (lg - 1 - b);
+        if (r > i) { fr t = a[i]; a[i] = a[r]; a[r] = t; }
+    }
+    for (u64 len = 1; len < n; len <<= 1) {
+        u64 step = n / (2 * len); /* twiddle stride for this stage */
+        for (u64 start = 0; start < n; start += 2 * len) {
+            for (u64 j = 0; j < len; j++) {
+                fr t;
+                fr_mul(&t, &a[start + len + j], &w[j * step]);
+                fr u = a[start + j];
+                fr_add(&a[start + j], &u, &t);
+                fr_sub(&a[start + len + j], &u, &t);
+            }
+        }
+    }
+    for (u64 i = 0; i < n; i++) store(buf + i * 32, &a[i]);
+    __builtin_free(a);
+    __builtin_free(w);
+}

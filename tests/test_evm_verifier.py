@@ -123,3 +123,58 @@ def test_evm_accepts_our_20_card_proof():
     bad = bytearray(blob)
     bad[0x390] ^= 1
     assert vm.verify_shuffle(bytes(bad), pi, pkc_words(cms)) is False
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference checkout not present")
+@heavy
+@pytest.mark.slow
+def test_evm_accepts_our_52_card_proof():
+    """OUR 52-card proof bytes through the unchanged ShuffleVerifier +
+    VerifierKey_52 stack — BASELINE config 3's literal acceptance check
+    (reference strategy: plonk_52.js).  Uses the disk-cached proving key
+    when present (utils/params_cache — same apk derivation as bench.py)."""
+    import random
+
+    from uzkge_tpu.curve import babyjubjub as bjj
+    from uzkge_tpu.evm.verifier_vm import ShuffleVerifierVM, pkc_words
+    from uzkge_tpu.gen_params import load_srs
+    from uzkge_tpu.plonk.indexer import ProverParams, refresh_prover_params_public_key
+    from uzkge_tpu.plonk.proof_io import proof_to_bytes_be
+    from uzkge_tpu.shuffle import app
+    from uzkge_tpu.shuffle.sdk import index_to_point
+    from uzkge_tpu.utils.params_cache import load_pp, save_pp, shuffle_pp_cache_path
+
+    rng = random.Random(7)
+    players = [app.Keypair.generate(rng) for _ in range(4)]
+    joint = app.aggregate_keys([p.public for p in players])
+
+    cache_path = shuffle_pp_cache_path(52, joint)
+    pp = load_pp(cache_path, ProverParams)
+    if pp is not None:
+        kzg = load_srs(16384)
+    else:
+        pp, cs, kzg = app.gen_shuffle_prover_params(52)
+        refresh_prover_params_public_key(pp, cs, kzg, joint)
+        save_pp(cache_path, pp)
+    cms = pp.verifier_params.cm_shuffle_public_key_vec
+
+    deck = []
+    for i in range(52):
+        masked, _ = app.mask(rng, joint, index_to_point(i), rng.randrange(1, bjj.ORDER))
+        deck.append(masked)
+    proof, outputs = app.prove_shuffle(rng, joint, deck, pp, kzg)
+    assert app.verify_shuffle(pp.verifier_params, kzg, deck, outputs, proof)
+
+    pi = []
+    for c in deck:
+        pi += c.flatten()
+    for c in outputs:
+        pi += c.flatten()
+    blob = proof_to_bytes_be(proof)
+    assert len(blob) == 0x660
+
+    vm = ShuffleVerifierVM(52)
+    assert vm.verify_shuffle(blob, pi, pkc_words(cms)) is True
+    bad = bytearray(blob)
+    bad[0x390] ^= 1
+    assert vm.verify_shuffle(bytes(bad), pi, pkc_words(cms)) is False

@@ -594,7 +594,9 @@ def pbatch_inv_fq(a):
 # already limb-major, so no in-kernel transpose and table HBM traffic is
 # one stream per MSM batch.
 
-TAIL = 512  # per-MSM leaf count handed to the complete-add scan
+TAIL = 512  # per-MSM leaf count handed to the complete-add scan (CPU path)
+AFFINE_LEVELS = 3  # batch-affine tree depth on the TPU path (87.5% of adds)
+TAIL_M = 16  # per-MSM projective partial sums finished on host
 
 
 def _select_kernel(P, D, tab_ref, dig_ref, x_ref, y_ref, inf_ref):
@@ -668,6 +670,63 @@ def _pair_combine_kernel(x1_ref, x2_ref, y1_ref, y2_ref, dinv_ref, flag_ref,
         ox[i, :, :] = xo[i]
         oy[i, :, :] = yo[i]
     oinf[:, :] = info.astype(jnp.uint32)
+
+
+def _fold8_kernel(x_ref, y_ref, z_ref, ox, oy, oz):
+    """Projective 8-to-1 pairwise tree: inputs (L, 8, P, G) with the fold
+    axis on dim 1 (sublane-friendly halves), output (L, P, G).  Complete
+    padd handles identities, so no flags are needed downstream of the
+    affine levels.  Uses the array-form field (afield) for a compact trace
+    (7 padds; the rows form would be ~100k HLO)."""
+    from ..ff.afield import afq
+
+    f = afq
+    X = x_ref[:, :, :, :]
+    Y = y_ref[:, :, :, :]
+    Z = z_ref[:, :, :, :]
+    w = 8
+    while w > 1:
+        h = w // 2
+        A = (X[:, :h], Y[:, :h], Z[:, :h])
+        B = (X[:, h : 2 * h], Y[:, h : 2 * h], Z[:, h : 2 * h])
+        X, Y, Z = padd_g(f, A, B)
+        w = h
+    ox[:, :, :] = X[:, 0]
+    oy[:, :, :] = Y[:, 0]
+    oz[:, :, :] = Z[:, 0]
+
+
+def _fold8(X, Y, Z):
+    """(L, P, Kc) projective -> (L, P, Kc/8) via the in-kernel 8-tree."""
+    Lh, P, Kc = X.shape
+    C8 = Kc // 8
+    # fold axis to dim 1: (L, P, C8, 8) -> (L, 8, P, C8)
+    def lay(a):
+        return jnp.moveaxis(a.reshape(L, P, C8, 8), 3, 1)
+
+    G = _pick_G(C8, cap=256)  # (L, 8, P, G) x 3 inputs: keep VMEM modest
+    spec_in = pl.BlockSpec((L, 8, P, G), lambda g: (0, 0, 0, g),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((L, P, G), lambda g: (0, 0, g), memory_space=pltpu.VMEM)
+    return pallas_call(
+        _fold8_kernel,
+        out_shape=tuple(jax.ShapeDtypeStruct((L, P, C8), jnp.uint32) for _ in range(3)),
+        grid=(C8 // G,),
+        in_specs=[spec_in] * 3,
+        out_specs=(spec_out,) * 3,
+    )(lay(X), lay(Y), lay(Z))
+
+
+def _to_projective(x, y, inf):
+    """Affine + inf flags -> complete projective (identity = (0, 1, 0))."""
+    one = jnp.asarray(
+        np.array([int(m) for m in rfq.mont_one], np.uint32)[:, None, None]
+    )
+    isinf = (inf != 0)[None]
+    X = jnp.where(isinf, jnp.uint32(0), x)
+    Y = jnp.where(isinf, one, y)
+    Z = jnp.where(isinf, jnp.uint32(0), jnp.broadcast_to(one, x.shape))
+    return X, Y, Z
 
 
 def _pair_den_small_kernel(H, x_ref, inf_ref, den_ref, flag_ref):
@@ -1083,19 +1142,29 @@ class FixedBaseTable:
                 pl.BlockSpec((P, TK), lambda i: (0, i), memory_space=pltpu.VMEM),
             ),
         )(table, d_t)
+        # 3 batch-affine levels cover 87.5% of the adds at 6 muls/add;
+        # the rest folds through projective 8-trees (no inversions, no
+        # flags, ~1/4 the kernel-compile count of affine all the way down),
+        # and the last TAIL_M points per MSM are summed on host.
         Kc = K
-        while Kc > TAIL:
+        n_affine = 0
+        while Kc > TAIL_M and n_affine < AFFINE_LEVELS:
             x, y, inf = _affine_level(x, y, inf)
             Kc //= 2
+            n_affine += 1
+        X, Y, Z = _to_projective(x, y, inf)
+        while Kc % 8 == 0 and Kc // 8 >= TAIL_M:
+            X, Y, Z = _fold8(X, Y, Z)
+            Kc //= 8
+        while Kc > TAIL_M:  # non-8-power remainders (small test tables)
+            from ..ff.vfield import vfq_c
 
-        per = Kc
-        S = _pick_S(per)
-        J = per // S
-        d_plane = jnp.where(inf == 0, 1, 0).astype(jnp.int32)  # (P, per)
-        d_lay = jnp.moveaxis(_to_scan_layout(d_plane, S), 1, 0).reshape(S, P * J)
-        gx = jnp.moveaxis(_to_scan_layout(x, S), 2, 1).reshape(L, S, P * J)
-        gy = jnp.moveaxis(_to_scan_layout(y, S), 2, 1).reshape(L, S, P * J)
-        return _reduce_leaves(gx, gy, d_lay, S, P, J)
+            h = Kc // 2
+            A = (X[:, :, :h], Y[:, :, :h], Z[:, :, :h])
+            B = (X[:, :, h:], Y[:, :, h:], Z[:, :, h:])
+            X, Y, Z = padd_g(vfq_c, A, B)
+            Kc = h
+        return X.reshape(L, P * Kc), Y.reshape(L, P * Kc), Z.reshape(L, P * Kc)
 
     def _msm_impl(self, table, scalars_mont):
         """(P, n, L) Fr Montgomery -> (L, P) projective sums."""

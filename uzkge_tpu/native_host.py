@@ -39,6 +39,7 @@ def _build():
     lib.lincomb.argtypes = [c, pu64, c, u64, u64, c]
     lib.synthetic_div.argtypes = [c, u64, c, c, c]
     lib.alpha_combine.argtypes = [c, pu64, u64, c, c, u64, c, c]
+    lib.ntt_radix2_mont.argtypes = [c, u64, c]
     return lib
 
 
@@ -216,3 +217,37 @@ if not HAVE_NATIVE:
             prev = prev * (x * y % R_MOD) % R_MOD
             z.append(prev)
         return _pack(z)
+
+
+def ntt_radix2_mont_bench(n: int, iters: int = 3):
+    """Single-core CPU radix-2 NTT timing (the bench's CPU baseline for
+    butterflies/s; see native/hostmath.c ntt_radix2_mont).  Returns
+    (best_seconds, butterflies) for one size-n transform."""
+    import math
+    import random
+    import time
+
+    from .constants.bn254 import R_MOD
+    from .ff.field import Fr
+
+    if not HAVE_NATIVE:
+        raise RuntimeError("native hostmath unavailable")
+    rng = random.Random(1)
+    R = 1 << 256
+    buf = ctypes.create_string_buffer(
+        b"".join((rng.randrange(R_MOD) * R % R_MOD).to_bytes(32, "little") for _ in range(n))
+    )
+    w = Fr.root_of_unity(n)
+    tws = []
+    cur = 1
+    for _ in range(n // 2):
+        tws.append(cur * R % R_MOD)
+        cur = cur * w % R_MOD
+    twb = ctypes.create_string_buffer(b"".join(t.to_bytes(32, "little") for t in tws))
+    best = None
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        _lib.ntt_radix2_mont(buf, n, twb)
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return best, (n // 2) * int(math.log2(n))

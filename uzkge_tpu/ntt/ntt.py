@@ -70,19 +70,36 @@ class NTTDomain:
             self._pplan_fwd = build_plan(self.master, n, n, 1, inverse=False)
             self._pplan_inv = build_plan(self.master, n, n, 1, inverse=True)
             n_inv_mont = self.n_inv * (1 << 256) % p
+            one_mont = (1 << 256) % p
+            # constant ladders (numpy: concrete across jits)
+            self._ones_ladder = np.ascontiguousarray(
+                np.broadcast_to(
+                    np.array(
+                        [(one_mont >> (16 * i)) & 0xFFFF for i in range(L)],
+                        np.uint32,
+                    )[:, None],
+                    (L, n),
+                )
+            )
+            self._ninv_ladder = np.ascontiguousarray(
+                np.broadcast_to(
+                    np.array(
+                        [(n_inv_mont >> (16 * i)) & 0xFFFF for i in range(L)],
+                        np.uint32,
+                    )[:, None],
+                    (L, n),
+                )
+            )
 
-            def _pj(x, pre=None, post=None, inverse=False, const=None):
+            def _pj(plan, x, pre, post):
                 xv = jnp.moveaxis(x, -1, 0)
-                plan = self._pplan_inv if inverse else self._pplan_fwd
-                out = pallas_fft(xv, plan, pre=pre, post=post, const_mont=const)
+                out = pallas_fft(xv, plan, pre, post)
                 return jnp.moveaxis(out, 0, -1)
 
-            self._pj_fft = jax.jit(lambda x: _pj(x))
-            self._pj_ifft = jax.jit(lambda x: _pj(x, inverse=True, const=n_inv_mont))
-            self._pj_coset_fft = jax.jit(lambda x, pre: _pj(x, pre=pre))
-            self._pj_coset_ifft = jax.jit(
-                lambda x, post: _pj(x, post=post, inverse=True)
-            )
+            # pre/post ladders are ARGUMENTS: fft/coset_fft share one
+            # executable per direction (ditto ifft/coset_ifft)
+            self._pj_fwd = jax.jit(partial(_pj, self._pplan_fwd))
+            self._pj_inv = jax.jit(partial(_pj, self._pplan_inv))
             self._post_ladder_cache = {}
         if n > 1 and self._fourstep and not self._pallas:
             self._plan_fwd = fourstep_plan(self.master, n, inverse=False)
@@ -127,13 +144,14 @@ class NTTDomain:
     def fft(self, coeffs):
         """coeffs (m<=n, L) -> evaluations (n, L) at [w^0..w^{n-1}]."""
         if self._pallas:
-            return self._pj_fft(self._pad(coeffs)[None])[0]
+            return self._pj_fwd(self._pad(coeffs)[None],
+                                self._ones_ladder, self._ones_ladder)[0]
         return self._fft_jit(self._pad(coeffs))
 
     def ifft(self, evals):
         """evaluations (n, L) -> coefficients (n, L)."""
         if self._pallas:
-            return self._pj_ifft(evals[None])[0]
+            return self._pj_inv(evals[None], self._ones_ladder, self._ninv_ladder)[0]
         return self._ifft_jit(evals)
 
     @staticmethod
@@ -156,20 +174,21 @@ class NTTDomain:
         """(B, m<=n, L) -> (B, n, L)."""
         x, b = self._pad_batch(coeffs)
         if self._pallas:
-            return self._pj_fft(x)[:b]
+            return self._pj_fwd(x, self._ones_ladder, self._ones_ladder)[:b]
         return self._fft_batch_jit(x)[:b]
 
     def ifft_batch(self, evals):
         x, b = self._pad_batch(evals)
         if self._pallas:
-            return self._pj_ifft(x)[:b]
+            return self._pj_inv(x, self._ones_ladder, self._ninv_ladder)[:b]
         return self._ifft_batch_jit(x)[:b]
 
     def coset_fft_batch(self, coeffs, k: int):
         x, b = self._pad_batch(coeffs)
         powers = self.power_ladder(k)
         if self._pallas:
-            return self._pj_coset_fft(x, jnp.moveaxis(powers, -1, 0))[:b]
+            return self._pj_fwd(x, jnp.moveaxis(powers, -1, 0),
+                                self._ones_ladder)[:b]
         return self._fft_batch_jit(self.ctx.mul(x, powers[None]))[:b]
 
     def coset_scale(self, coeffs, k: int):
@@ -211,7 +230,8 @@ class NTTDomain:
     def coset_ifft(self, evals, k: int):
         """Inverse of coset_fft: ifft then scale by k^-j."""
         if self._pallas:
-            return self._pj_coset_ifft(evals[None], self._coset_post_ladder(k))[0]
+            return self._pj_inv(evals[None], self._ones_ladder,
+                                self._coset_post_ladder(k))[0]
         coeffs = self.ifft(evals)
         k_inv = pow(k, self.ctx.p - 2, self.ctx.p)
         return self.coset_scale(coeffs, k_inv)

@@ -50,8 +50,20 @@ def build_plan(master_mont, n_total: int, size: int, stride: int, inverse: bool)
     """Plan tree for a size-`size` sub-FFT with root master^stride."""
     if size <= SMAX:
         tws = stage_twiddles_strided(master_mont, n_total, size, stride, inverse)
-        # drop the final all-ones stage table (m = 1, w^0)
-        return {"S": size, "tws": [jnp.asarray(t) for t in tws[:-1]]}
+        # Flatten each stage's (L, m) table to (L, S/2) in butterfly-row
+        # order (w[j] repeated l times): the kernel then multiplies flat
+        # (S/2, GN) rows with a broadcast along lanes only — no minor-dim-1
+        # VMEM buffers (those pad 1024x and blow the scoped-VMEM budget)
+        # and no sublane<->lane shape casts.  Expanded to (L, S/2, GN) per
+        # lane width lazily (_expand_tws).
+        flat = []
+        m, l = size // 2, 1
+        for t in tws[:-1]:
+            arr = np.asarray(t)  # (L, m)
+            flat.append(jnp.asarray(np.repeat(arr, l, axis=1)))  # (L, S/2)
+            m //= 2
+            l *= 2
+        return {"S": size, "tws": flat}
     S2 = 64
     S1 = size // S2
     plan2 = build_plan(master_mont, n_total, S2, stride * S1, inverse)
@@ -86,10 +98,7 @@ def _direct_kernel(S, nst, has_pre, has_post, const_limbs, *refs):
         s = f.add(a, b)
         d = f.sub(a, b)
         if m > 1:
-            d3 = [r.reshape(m, l, GN) for r in d]
-            twb = [tws[t][i][:, None, None] for i in range(L)]
-            tv3 = f.mul(d3, twb)
-            tv = [r.reshape(S // 2, GN) for r in tv3]
+            tv = f.mul(d, [tws[t][i] for i in range(L)])  # flat (S/2, GN)
         else:
             tv = d
         x = [
@@ -108,6 +117,24 @@ def _direct_kernel(S, nst, has_pre, has_post, const_limbs, *refs):
         o_ref[i, 0] = x[i]
 
 
+def _expand_tws(plan, GN: int):
+    """(L, S/2) flat stage twiddles -> (L, S/2, GN) lane-broadcast tables,
+    cached per lane width on the plan.  Built with numpy so the cached
+    arrays are CONCRETE even when first touched inside a jit trace (a
+    traced value cached across jits is a tracer leak)."""
+    cache = plan.setdefault("_twexp", {})
+    if GN not in cache:
+        # keep numpy (never jnp) in cross-jit caches: jnp constants
+        # materialize as tracers inside an active trace and leak
+        cache[GN] = [
+            np.ascontiguousarray(
+                np.broadcast_to(np.asarray(t)[:, :, None], t.shape + (GN,))
+            )
+            for t in plan["tws"]
+        ]
+    return cache[GN]
+
+
 def _direct_pass(x, plan, pre, post, const_limbs):
     """x: (L, OUT, S, IN) -> same shape, FFT over axis 2.
     pre/post: None or flat (L, S*IN) ladders (input/output enumeration)."""
@@ -115,11 +142,12 @@ def _direct_pass(x, plan, pre, post, const_limbs):
     Lh, OUT, _, IN = x.shape
     GN = 128 if IN % 128 == 0 else IN
     nst = len(plan["tws"])
+    twx = _expand_tws(plan, GN)
     tw_specs = [
-        pl.BlockSpec(t.shape, lambda o, g: (0, 0), memory_space=pltpu.VMEM)
-        for t in plan["tws"]
+        pl.BlockSpec((L, S // 2, GN), lambda o, g: (0, 0, 0), memory_space=pltpu.VMEM)
+        for _ in twx
     ]
-    args = [x] + list(plan["tws"])
+    args = [x] + twx
     in_specs = [
         pl.BlockSpec((L, 1, S, GN), lambda o, g: (0, o, 0, g), memory_space=pltpu.VMEM)
     ] + tw_specs
@@ -141,24 +169,33 @@ def _direct_pass(x, plan, pre, post, const_limbs):
         out_specs=pl.BlockSpec(
             (L, 1, S, GN), lambda o, g: (0, o, 0, g), memory_space=pltpu.VMEM
         ),
+        # the unrolled stage chain's live temporaries exceed the default
+        # 16 MB scoped-VMEM budget; v5e has 128 MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
 def _expand_T(plan, IN: int):
-    """(L, S2, S1) inter-factor twiddle -> flat (L, S2*S1*IN) post ladder."""
+    """(L, S2, S1) inter-factor twiddle -> flat (L, S2*S1*IN) post ladder.
+    numpy-built so cache entries stay concrete across jit traces."""
     cache = plan.setdefault("_Texp", {})
     if IN not in cache:
-        T = plan["T"]
-        cache[IN] = jnp.broadcast_to(
-            T[:, :, :, None], (L, T.shape[1], T.shape[2], IN)
-        ).reshape(L, -1)
+        T = np.asarray(plan["T"])
+        cache[IN] = np.ascontiguousarray(
+            np.broadcast_to(
+                T[:, :, :, None], (L, T.shape[1], T.shape[2], IN)
+            ).reshape(L, -1)
+        )
     return cache[IN]
 
 
-def fft_mid(x, plan, pre=None, post=None, const_limbs=None):
-    """FFT over axis -2 of (L, OUT, S, IN) per `plan`; natural order."""
+def fft_mid(x, plan, pre=None, post=None):
+    """FFT over axis -2 of (L, OUT, S, IN) per `plan`; natural order.
+    `post` must be non-None (every rightmost pass carries an output ladder
+    — possibly all-ones — so each (S, GN) shape compiles at most two kernel
+    variants: with/without pre)."""
     if "tws" in plan:
-        return _direct_pass(x, plan, pre, post, const_limbs)
+        return _direct_pass(x, plan, pre, post, None)
     S2, S1 = plan["S2"], plan["S1"]
     Lh, OUT, S, IN = x.shape
     a = x.reshape(L, OUT, S2, S1 * IN)
@@ -166,22 +203,16 @@ def fft_mid(x, plan, pre=None, post=None, const_limbs=None):
     a = fft_mid(a, plan["plan2"], pre=pre, post=_expand_T(plan, IN))
     a = a.reshape(L, OUT, S2, S1, IN)
     a = jnp.swapaxes(a, 2, 3).reshape(L, OUT, S1, S2 * IN)
-    # right branch: outer post/const ride down
-    a = fft_mid(a, plan["plan1"], post=post, const_limbs=const_limbs)
+    # right branch: outer post rides down
+    a = fft_mid(a, plan["plan1"], post=post)
     return a.reshape(L, OUT, S, IN)
 
 
-def pallas_fft(xv, plan, pre=None, post=None, const_mont: Optional[int] = None):
+def pallas_fft(xv, plan, pre, post):
     """xv: (L, B, n) vertical Montgomery limbs -> natural-order (i)NTT.
-    pre/post: optional (L, n) scale ladders (input/output enumeration);
-    const_mont: optional Montgomery-form python-int post scale (e.g. 1/n)."""
-    from ..ff.jax_field import int_to_limbs_np
-
-    const_limbs = (
-        [np.uint32(v) for v in int_to_limbs_np(const_mont)]
-        if const_mont is not None
-        else None
-    )
+    pre/post: (L, n) scale ladders in input/output enumeration (all-ones
+    Montgomery when unused — ladders are jit ARGUMENTS, so fft / coset_fft
+    / ifft / coset_ifft all share the same compiled executables)."""
     Lh, B, n = xv.shape
-    out = fft_mid(xv[:, :, :, None], plan, pre=pre, post=post, const_limbs=const_limbs)
+    out = fft_mid(xv[:, :, :, None], plan, pre=pre, post=post)
     return out.reshape(L, B, n)

@@ -71,25 +71,24 @@ class NTTDomain:
             self._pplan_inv = build_plan(self.master, n, n, 1, inverse=True)
             n_inv_mont = self.n_inv * (1 << 256) % p
             one_mont = (1 << 256) % p
-            # constant ladders (numpy: concrete across jits)
-            self._ones_ladder = np.ascontiguousarray(
-                np.broadcast_to(
-                    np.array(
-                        [(one_mont >> (16 * i)) & 0xFFFF for i in range(L)],
-                        np.uint32,
-                    )[:, None],
-                    (L, n),
+
+            # constant ladders: device-resident (numpy jit args would be
+            # re-uploaded on every call — ~8 MB per ladder per NTT)
+            def _const_ladder(v):
+                return jnp.asarray(
+                    np.ascontiguousarray(
+                        np.broadcast_to(
+                            np.array(
+                                [(v >> (16 * i)) & 0xFFFF for i in range(L)],
+                                np.uint32,
+                            )[:, None],
+                            (L, n),
+                        )
+                    )
                 )
-            )
-            self._ninv_ladder = np.ascontiguousarray(
-                np.broadcast_to(
-                    np.array(
-                        [(n_inv_mont >> (16 * i)) & 0xFFFF for i in range(L)],
-                        np.uint32,
-                    )[:, None],
-                    (L, n),
-                )
-            )
+
+            self._ones_ladder = _const_ladder(one_mont)
+            self._ninv_ladder = _const_ladder(n_inv_mont)
 
             def _pj(plan, x, pre, post):
                 xv = jnp.moveaxis(x, -1, 0)

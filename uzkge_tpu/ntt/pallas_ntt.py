@@ -64,7 +64,9 @@ def build_plan(master_mont, n_total: int, size: int, stride: int, inverse: bool)
             m //= 2
             l *= 2
         return {"S": size, "tws": flat}
-    S2 = 64
+    # split so the recursion's pass lane-widths stay >= 128 where possible
+    # (the stretch/roll interleave needs l*GN >= 128 for free reshapes)
+    S2 = 128 if size // 128 <= SMAX and size >= 16384 else 64
     S1 = size // S2
     plan2 = build_plan(master_mont, n_total, S2, stride * S1, inverse)
     plan1 = build_plan(master_mont, n_total, S1, stride * S2, inverse)
@@ -92,6 +94,7 @@ def _direct_kernel(S, nst, has_pre, has_post, const_limbs, *refs):
     if has_pre:
         x = f.mul(x, [pre_ref[i] for i in range(L)])
     m, l = S // 2, 1
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, GN), 0)
     for t in range(int(np.log2(S))):
         a = [r[: S // 2] for r in x]
         b = [r[S // 2 :] for r in x]
@@ -101,12 +104,33 @@ def _direct_kernel(S, nst, has_pre, has_post, const_limbs, *refs):
             tv = f.mul(d, [tws[t][i] for i in range(L)])  # flat (S/2, GN)
         else:
             tv = d
-        x = [
-            jnp.concatenate(
-                [s[i].reshape(m, 1, l, GN), tv[i].reshape(m, 1, l, GN)], axis=1
-            ).reshape(S, GN)
-            for i in range(L)
-        ]
+        # Stockham interleave out[2jl + h*l + k] = (s, tv)[h][jl + k] via
+        # block-stretch + roll + select — all full-width ops.  The naive
+        # concat/reshape form emits sub-8-sublane shuffles at l < 8 and
+        # measured 4x the butterfly compute.
+        if l * GN >= 128:
+            maskA = ((row // l) % 2) == 0
+
+            def stretch(v):
+                # duplicate each l-row block: concat along lanes then split
+                # the minor dim back — a contiguous reinterpretation
+                # (jnp.repeat's middle-axis insert is an unsupported Mosaic
+                # shape cast; this needs l*GN >= 128 to keep minor dims
+                # lane-aligned)
+                vr = v.reshape(m, l * GN)
+                return jnp.concatenate([vr, vr], axis=1).reshape(S, GN)
+
+            x = [
+                jnp.where(maskA, stretch(s[i]), pltpu.roll(stretch(tv[i]), l, axis=0))
+                for i in range(L)
+            ]
+        else:  # narrow-lane fallback: sublane-granular concat interleave
+            x = [
+                jnp.concatenate(
+                    [s[i].reshape(m, 1, l, GN), tv[i].reshape(m, 1, l, GN)], axis=1
+                ).reshape(S, GN)
+                for i in range(L)
+            ]
         m //= 2
         l *= 2
     if has_post:

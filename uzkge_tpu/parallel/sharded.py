@@ -349,4 +349,45 @@ def dryrun_multichip(n_devices: int):
     ref = dom.fft_batch(batch)
     assert fr_ctx.from_mont_limbs(ev_dp.reshape(-1, L)) == \
         fr_ctx.from_mont_limbs(ref.reshape(-1, L)), "dp-sharded batch NTT mismatch"
+
+    # ---- the ACTUAL prover on the mesh: a 1-card shuffle proof with
+    # UZKGE_MESH=1, so every commit round rides the sharded MSM and the
+    # batched (i)NTTs ride sharded_ntt_batch (set UZKGE_DRYRUN_PROVE=0 to
+    # skip on hosts where the cold with_shuffle XLA:CPU compile is too slow)
+    import os
+
+    if os.environ.get("UZKGE_DRYRUN_PROVE", "1") != "0":
+        prev = os.environ.get("UZKGE_MESH")
+        os.environ["UZKGE_MESH"] = "1"
+        try:
+            _dryrun_prove_on_mesh(rng)
+        finally:
+            if prev is None:
+                os.environ.pop("UZKGE_MESH", None)
+            else:
+                os.environ["UZKGE_MESH"] = prev
     return True
+
+
+def _dryrun_prove_on_mesh(rng):
+    """Tiny (1-card) shuffle proof through prove_shuffle with the mesh
+    routes active; verified with the same verifier as production."""
+    from ..curve import babyjubjub as bjj
+    from ..pcs.kzg import KZG
+    from ..plonk.indexer import indexer, refresh_prover_params_public_key
+    from ..shuffle import app
+    from ..shuffle.sdk import index_to_point
+
+    kp = app.Keypair(rng.randrange(1, bjj.ORDER))
+    apk = kp.public
+    from ..shuffle.primitives import Ciphertext
+
+    cards = [Ciphertext.rand(rng) for _ in range(1)]
+    cs, _ = app.build_cs(rng, apk, cards)
+    kzg = KZG.setup_insecure(cs.size + 8, 123456789, domain_n=cs.size)
+    pp = indexer(cs, kzg, with_shuffle=True)
+    refresh_prover_params_public_key(pp, cs, kzg, apk)
+    deck = [app.mask(rng, apk, index_to_point(0), rng.randrange(1, bjj.ORDER))[0]]
+    proof, outputs = app.prove_shuffle(rng, apk, deck, pp, kzg)
+    assert app.verify_shuffle(pp.verifier_params, kzg, deck, outputs, proof), \
+        "mesh-routed shuffle proof failed verification"

@@ -142,11 +142,44 @@ class KZG:
         padded = list(coefs) + [0] * (bases.n - len(coefs))
         return msm(bases, padded)
 
+    def _lagrange_sharded_bases(self):
+        """(L, n) vertical affine limb arrays of the Lagrange basis for the
+        mesh MSM path (cached)."""
+        if getattr(self, "_lag_sh", None) is None:
+            from ..ff.jax_field import fq_ctx
+
+            n = self._lagrange_n
+            xs = fq_ctx.to_mont_limbs([p[0] for p in self._lagrange_points]).reshape(n, L)
+            ys = fq_ctx.to_mont_limbs([p[1] for p in self._lagrange_points]).reshape(n, L)
+            self._lag_sh = (jnp.moveaxis(xs, -1, 0), jnp.moveaxis(ys, -1, 0))
+        return self._lag_sh
+
     def commit_evals_batch(self, evals_dev):
         """Lagrange-basis commit of a batch: evals_dev (P, n, L) Montgomery
-        limbs on device -> list of host affine points."""
+        limbs on device -> list of host affine points.  With UZKGE_MESH=1
+        and >1 device, commits ride the sharded mesh MSM (proof axis when
+        it divides the mesh, point axis otherwise)."""
         assert self._lagrange is not None
         batch = evals_dev if evals_dev.ndim == 3 else evals_dev[None]
+        from ..parallel import mesh_enabled
+
+        if mesh_enabled():
+            from ..parallel import get_mesh
+            from ..parallel.sharded import (
+                sharded_msm_batch,
+                sharded_msm_device_sums,
+            )
+            from ..msm.fixed_base import _extract_host
+
+            mesh = get_mesh()
+            ndev = mesh.devices.size
+            x_v, y_v = self._lagrange_sharded_bases()
+            P = batch.shape[0]
+            if P % ndev == 0:
+                S3 = sharded_msm_batch(mesh, x_v, y_v, batch)
+            else:
+                S3 = sharded_msm_device_sums(mesh, x_v, y_v, batch)
+            return _extract_host(S3[0], S3[1], S3[2], P)
         if _fb_enabled(self._lagrange_n):
             return self.lagrange_fb_table().msm_mont(batch)
         if self._lagrange_vb is None:

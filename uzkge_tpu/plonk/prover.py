@@ -267,6 +267,30 @@ def _horner_eval(coefs: List[int], x: int) -> int:
     return acc
 
 
+def _mesh_ntt_batch(dom, x, inverse=False, coset_k=None):
+    """Batched NTT routed over the device mesh when UZKGE_MESH=1 (>1
+    device): the batch axis shards across chips via sharded_ntt_batch
+    (padded to a mesh multiple); single-chip falls through to the domain's
+    own batched path."""
+    from ..parallel import mesh_enabled
+
+    if not mesh_enabled():
+        if coset_k is not None and not inverse:
+            return dom.coset_fft_batch(x, coset_k)
+        return dom.ifft_batch(x) if inverse else dom.fft_batch(x)
+    from ..parallel import get_mesh
+    from ..parallel.sharded import sharded_ntt_batch
+
+    mesh = get_mesh()
+    ndev = mesh.devices.size
+    B = x.shape[0]
+    Bp = ((B + ndev - 1) // ndev) * ndev
+    if Bp > B:
+        x = jnp.concatenate([x, jnp.zeros((Bp - B,) + x.shape[1:], jnp.uint32)])
+    out = sharded_ntt_batch(mesh, x, inverse=inverse, coset_k=coset_k)
+    return out[:B]
+
+
 def _fetch_blobs(arrays):
     """ONE device->host sync for many (m_i, L) Montgomery arrays (each
     host<->device round trip costs ~25 ms of tunnel latency, so the prover
@@ -352,12 +376,12 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
             wsel_flat = [v for row in wsel_rows for v in row]
             wsel_evals_dev = fr_ctx.to_mont_limbs(wsel_flat).reshape(3, n, L)
     with stage("r1_ifft", block=None):
-        w_coefs_dev = dom.ifft_batch(w_evals_dev)
+        w_coefs_dev = _mesh_ntt_batch(dom, w_evals_dev, inverse=True)
         w_blinds = [[rand_fr() for _ in range(pp_hd)] for pp_hd in (3, 3, 3, 2, 2)]
         w_polys = [_hide(w_coefs_dev[i], w_blinds[i], n) for i in range(5)]
         w_sel_polys = []
         if with_shuffle:
-            wsel_coefs_dev = dom.ifft_batch(wsel_evals_dev)
+            wsel_coefs_dev = _mesh_ntt_batch(dom, wsel_evals_dev, inverse=True)
             wsel_blinds = [[rand_fr(), rand_fr()] for _ in range(3)]
             w_sel_polys = [_hide(wsel_coefs_dev[i], wsel_blinds[i], n) for i in range(3)]
     cm_w_sel_vec = []
@@ -418,12 +442,12 @@ def prover(rng, transcript: Transcript, kzg, cs: TurboCS, pp: ProverParams,
         pi_coefs = dom.ifft(fr_ctx.to_mont_limbs(pi_evals))
 
         w_stack = jnp.stack([jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_polys])
-        w_coset = dom_m.coset_fft_batch(w_stack, k1)
+        w_coset = _mesh_ntt_batch(dom_m, w_stack, coset_k=k1)
         if with_shuffle:
             ws_stack = jnp.stack(
                 [jnp.concatenate([p, jnp.zeros((m - p.shape[0], L), jnp.uint32)]) for p in w_sel_polys]
             )
-            wsel_coset = dom_m.coset_fft_batch(ws_stack, k1)
+            wsel_coset = _mesh_ntt_batch(dom_m, ws_stack, coset_k=k1)
         else:
             wsel_coset = jnp.zeros((3, m, L), jnp.uint32)
         z_coset = dom_m.coset_fft(z_poly, k1)

@@ -25,6 +25,36 @@ def test_dryrun_multichip_2():
     assert dryrun_multichip(2)
 
 
+def test_mesh_routed_prove():
+    """Full 1-card shuffle proof with UZKGE_MESH=1 routing every commit
+    through the sharded MSM (the dryrun's opt-in mesh-prove stage).  Heavy:
+    the cold with_shuffle XLA:CPU compile takes minutes, so it is gated out
+    of both the default suite and the driver's timed dryrun."""
+    import os
+
+    import jax
+
+    if not os.environ.get("UZKGE_HEAVY_TESTS") and not os.environ.get(
+        "UZKGE_TPU_TESTS_ON_TPU"
+    ):
+        pytest.skip("cold with_shuffle compile; run with UZKGE_HEAVY_TESTS=1")
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    import random
+
+    from uzkge_tpu.parallel.sharded import _dryrun_prove_on_mesh
+
+    prev = os.environ.get("UZKGE_MESH")
+    os.environ["UZKGE_MESH"] = "1"
+    try:
+        _dryrun_prove_on_mesh(random.Random(1234))
+    finally:
+        if prev is None:
+            os.environ.pop("UZKGE_MESH", None)
+        else:
+            os.environ["UZKGE_MESH"] = prev
+
+
 def test_sharded_ntt_matches_domain():
     """Four-step all_to_all NTT vs the single-device domain at a size with
     n2 > devices (exercises the chunked exchange), incl. inverse + coset."""

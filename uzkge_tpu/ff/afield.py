@@ -38,10 +38,15 @@ from .jax_field import L, BITS, MASK, MontCtx, int_to_limbs_np
 
 
 def _imm_col(limbs, like_shape):
-    """Python-int limbs -> (L,) + broadcastable-ones constant built from
-    scalar immediates only (Pallas-kernel safe)."""
-    ones = (1,) * (len(like_shape) - 1)
-    rows = [jnp.full((1,) + ones, np.uint32(v), jnp.uint32) for v in limbs]
+    """Python-int limbs -> (L,) + batch-shape constant built from scalar
+    immediates only (Pallas-kernel safe).  Each limb row is a FULL-shape
+    splat (jnp.full), not a (1,...,1) column left for broadcasting:
+    Mosaic lowers a (L,1,..,1) -> (L,*batch) broadcast as one
+    vector.broadcast over both the sublane and lane axes, which it does
+    not implement ("Broadcast in both sublanes and lanes" — the round-4
+    _fold8 compile failure).  Splat constants have no broadcast at all."""
+    batch = tuple(like_shape[1:])
+    rows = [jnp.full((1,) + batch, np.uint32(v), jnp.uint32) for v in limbs]
     return jnp.concatenate(rows, axis=0)
 
 

@@ -1156,13 +1156,16 @@ class FixedBaseTable:
         while Kc % 8 == 0 and Kc // 8 >= TAIL_M:
             X, Y, Z = _fold8(X, Y, Z)
             Kc //= 8
-        while Kc > TAIL_M:  # non-8-power remainders (small test tables)
-            from ..ff.vfield import vfq_c
+        while Kc > TAIL_M:  # non-8-power remainders (c=4 production: Kc=32)
+            # _fold8 outputs live in afield's lazy mod-2p domain; vfield
+            # assumes canonical (< p) inputs, so the tail must stay in the
+            # lazy-closed afield context (host extraction reduces mod p).
+            from ..ff.afield import afq_c
 
             h = Kc // 2
             A = (X[:, :, :h], Y[:, :, :h], Z[:, :, :h])
             B = (X[:, :, h:], Y[:, :, h:], Z[:, :, h:])
-            X, Y, Z = padd_g(vfq_c, A, B)
+            X, Y, Z = padd_g(afq_c, A, B)
             Kc = h
         return X.reshape(L, P * Kc), Y.reshape(L, P * Kc), Z.reshape(L, P * Kc)
 

@@ -151,7 +151,7 @@ def test_evm_accepts_our_52_card_proof():
     cache_path = shuffle_pp_cache_path(52, joint)
     pp = load_pp(cache_path, ProverParams)
     if pp is not None:
-        kzg = load_srs(16384)
+        kzg = load_srs(pp.n)  # SRS size from the cached params' own domain
     else:
         pp, cs, kzg = app.gen_shuffle_prover_params(52)
         refresh_prover_params_public_key(pp, cs, kzg, joint)

@@ -47,3 +47,52 @@ def test_pmul_kernel_interpret_fr_fq(interpret_pallas):
         bv = v_from_h(ctx.to_mont_limbs(b))
         got = ctx.from_mont_limbs(h_from_v(pmulf(av, bv)))
         assert got == [x * y % p for x, y in zip(a, b)]
+
+
+def test_pallas_ntt_interpret_roundtrip(interpret_pallas, monkeypatch):
+    """The production Pallas NTT path (ntt/pallas_ntt.py — active on TPU for
+    n >= PALLAS_MIN_N) through the interpreter: fft vs an exact host Horner
+    oracle, ifft / coset round-trips, and the batch path, at n=512 (small
+    enough that the interpret-mode XLA:CPU graph compiles in seconds, large
+    enough that the recursion splits 512 = 64 x 8 and both the wide-lane and
+    narrow-lane interleave forms run).  Reference semantics: ark-poly
+    Radix2EvaluationDomain (uzkge/src/poly_commit/field_polynomial.rs:552-607)."""
+    import numpy as np
+
+    from uzkge_tpu.ff.jax_field import fr_ctx
+    from uzkge_tpu.ntt import ntt as nttmod
+
+    monkeypatch.setattr(nttmod, "PALLAS_MIN_N", 512)
+    n = 512
+    dom = nttmod.NTTDomain(n)
+    assert dom._pallas, "pallas path must be active under interpret mode"
+    assert "S2" in dom._pplan_fwd, "n=512 must exercise the recursive split"
+
+    rng = random.Random(11)
+    vals = [rng.randrange(R_MOD) for _ in range(n)]
+    x = fr_ctx.to_mont_limbs(vals)
+
+    ev = fr_ctx.from_mont_limbs(np.asarray(dom.fft(x)))
+    w = dom._pows_int
+    for j in (0, 1, 7, 201, n - 1):  # exact host Horner oracle spot-checks
+        exp = 0
+        for c in reversed(vals):
+            exp = (exp * w[j] + c) % R_MOD
+        assert ev[j] == exp, f"fft mismatch at {j}"
+
+    # ifft round-trips bit-exactly (covers the fused n_inv post ladder)
+    back = np.asarray(dom.ifft(dom.fft(x)))
+    assert fr_ctx.from_mont_limbs(back) == vals
+
+    # coset round-trip (covers the fused k^j pre / n_inv*k^-j post ladders)
+    k = 5
+    cback = np.asarray(dom.coset_ifft(dom.coset_fft(x, k), k))
+    assert fr_ctx.from_mont_limbs(cback) == vals
+
+    # batch path shares the executable with the single path
+    import jax.numpy as jnp
+
+    xb = jnp.stack([jnp.asarray(x)] * 2)
+    evb = np.asarray(dom.fft_batch(xb))
+    ev1 = np.asarray(dom.fft(x))
+    assert (evb[0] == ev1).all() and (evb[1] == ev1).all()

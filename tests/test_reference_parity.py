@@ -184,3 +184,48 @@ def test_vk52_commitments_match_embedded_bin():
     assert vk.cs_size == 16384
     assert len(vk.cm_q_vec) == 9 and len(vk.cm_shuffle_generator_vec) == 12
     assert len(vk.public_vars_constraint_indices) == 416
+
+
+def test_matchmaking_embedded_vk_is_stale_and_detected():
+    """The reference repo's committed matchmaking vk
+    (matchmaking/parameters/vk-specific.bin) predates uzkge's 9-selector
+    TurboCS: it carries 8 selector commitments while N_SELECTORS = 9
+    (turbo/mod.rs:23), so proofs from the current circuit cannot verify
+    against it (the prover linearizes 9 q polynomials, helpers.rs:1048).
+    Our loader must detect this and raise, triggering the same
+    regenerate fallback the reference API uses
+    (matchmaking/src/gen_params/params.rs:44-48).  The file's
+    circuit-level fields still match our build_cs exactly."""
+    import pytest as _pytest
+
+    from uzkge_tpu.errors import MissingVerifierParamsError
+    from uzkge_tpu.gen_params import _read, load_matchmaking_verifier_params
+    from uzkge_tpu.matchmaking.app import build_cs
+    from uzkge_tpu.plonk.cs import N_SELECTORS
+    from uzkge_tpu.utils import serialize as ser
+
+    parsed = ser.parse_verifier_params_specific(
+        _read("vk-specific-matchmaking.bin"), with_shuffle=False
+    )
+    vk = parsed["vk"]
+    assert len(vk["cm_q_vec"]) == 8 != N_SELECTORS  # the staleness itself
+    with _pytest.raises(MissingVerifierParamsError):
+        load_matchmaking_verifier_params()
+
+    # circuit-level parity with the embedded file's shared fields
+    import random
+
+    from uzkge_tpu.constants.bn254 import R_MOD
+
+    rng = random.Random(5)
+    cs, _ = build_cs(
+        [rng.randrange(R_MOD) for _ in range(50)],
+        rng.randrange(R_MOD),
+        rng.randrange(R_MOD),
+    )
+    assert cs.size == vk["cs_size"] == 8192
+    assert list(cs.public_vars_constraint_indices) == list(
+        vk["public_vars_constraint_indices"]
+    )
+    assert cs.anemoi_generator == vk["anemoi_generator"]
+    assert cs.anemoi_generator_inv == vk["anemoi_generator_inv"]

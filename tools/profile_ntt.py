@@ -25,6 +25,15 @@ from uzkge_tpu.constants.bn254 import R_MOD
 import uzkge_tpu.ntt.pallas_ntt as pntt
 
 
+def t(fn, *a):
+    for x in a:
+        jax.block_until_ready(x)
+    t0 = time.time()
+    r = fn(*a)
+    jax.block_until_ready(r)
+    return r, time.time() - t0
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 131072
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
@@ -52,42 +61,43 @@ def main():
     bfs = B * (n // 2) * int(math.log2(n)) / total
     print(f"jitted fft_batch: {total*1e3:.2f} ms  ({bfs/1e6:.1f}M bf/s)")
 
-    # ---- eager per-pass breakdown
+    # ---- per-pass breakdown: capture each _direct_pass call's (args, plan)
+    # during one traced run, then time each AS ITS OWN JIT, steady state
+    # (the naive eager form recompiles the pallas_call every invocation —
+    # a fresh functools.partial defeats the jit cache — and times compiles).
     xv = jnp.moveaxis(data, -1, 0)  # (L, B, n)
     plan = dom._pplan_fwd
-    pre = dom._ones_ladder
-    post = dom._ones_ladder
+    pre = None
+    post = None
 
-    records = []
+    calls = []
     orig = pntt._direct_pass
 
-    def timed(x, plan_, pre_, post_, const_):
-        jax.block_until_ready(x)
-        t0 = time.time()
-        r = orig(x, plan_, pre_, post_, const_)
-        jax.block_until_ready(r)
-        records.append((f"direct S={plan_['S']:5d} in={str(x.shape):24s}", time.time() - t0))
-        return r
+    def capture(x, plan_, pre_, post_, const_):
+        calls.append((x, plan_, pre_, post_, const_))
+        return orig(x, plan_, pre_, post_, const_)
 
-    pntt._direct_pass = timed
+    pntt._direct_pass = capture
     try:
-        # warm up eager kernels once
-        jax.block_until_ready(pntt.fft_mid(xv[:, :, :, None], plan, pre=pre, post=post))
-        records.clear()
-        t0 = time.time()
         r = jax.block_until_ready(
             pntt.fft_mid(xv[:, :, :, None], plan, pre=pre, post=post)
         )
-        eager_total = time.time() - t0
     finally:
         pntt._direct_pass = orig
 
     pass_sum = 0.0
-    for name, dt in records:
-        print(f"  {name}  {dt*1e3:7.2f} ms")
-        pass_sum += dt
-    print(f"eager total: {eager_total*1e3:.2f} ms; passes: {pass_sum*1e3:.2f} ms; "
-          f"glue (transpose/reshape/dispatch): {(eager_total-pass_sum)*1e3:.2f} ms")
+    for x, plan_, pre_, post_, const_ in calls:
+        fn = jax.jit(
+            lambda v, p=plan_, pr=pre_, po=post_, c=const_: orig(v, p, pr, po, c)
+        )
+        jax.block_until_ready(fn(x))  # compile
+        best = min(t(fn, x)[1] for _ in range(3))
+        lads = (pre_ is not None) + (post_ is not None)
+        print(f"  direct S={plan_['S']:5d} in={str(x.shape):22s} ladders={lads}"
+              f"  {best*1e3:7.2f} ms")
+        pass_sum += best
+    print(f"passes total: {pass_sum*1e3:.2f} ms of {total*1e3:.2f} ms jitted "
+          f"-> glue (transposes/reshapes): {(total-pass_sum)*1e3:.2f} ms")
 
     # ---- bare XLA transpose at the top inter-pass shape
     if "S2" in plan:

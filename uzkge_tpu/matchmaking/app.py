@@ -141,7 +141,17 @@ def gen_matchmaking_prover_params(n: int = N, use_embedded_vk: bool = True):
     inputs = [rng.randrange(P) for _ in range(n)]
     cs, _ = build_cs(inputs, rng.randrange(P), rng.randrange(P), n)
     kzg = load_srs(cs.size)
-    vk = load_matchmaking_verifier_params() if (use_embedded_vk and n == N) else None
+    # The reference's embedded matchmaking vk is stale (8 of 9 selector
+    # commitments — see load_matchmaking_verifier_params); mirror the
+    # reference's load-or-regenerate fallback (gen_params/params.rs:44-48).
+    vk = None
+    if use_embedded_vk and n == N:
+        from ..errors import MissingVerifierParamsError
+
+        try:
+            vk = load_matchmaking_verifier_params()
+        except MissingVerifierParamsError:
+            vk = None
     pp = indexer(cs, kzg, verifier_params=vk, with_shuffle=False)
     return pp, cs, kzg
 

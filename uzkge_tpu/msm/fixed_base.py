@@ -596,7 +596,12 @@ def pbatch_inv_fq(a):
 
 TAIL = 512  # per-MSM leaf count handed to the complete-add scan (CPU path)
 AFFINE_LEVELS = 3  # batch-affine tree depth on the TPU path (87.5% of adds)
-TAIL_M = 16  # per-MSM projective partial sums finished on host
+# Per-MSM projective partial sums finished on host.  1 = fold all the way
+# down on device: the r4 value of 16 left 16 points/MSM for the python
+# finish, whose per-point Fermat inverses + affine adds cost ~100 ms/batch
+# and dominated the whole MSM (device stages profile at ~1 ms total); the
+# extra fold8/padd rounds on the tiny tails cost ~0.5 ms of device time.
+TAIL_M = 1
 
 
 def _select_kernel(P, D, tab_ref, dig_ref, x_ref, y_ref, inf_ref):
@@ -1205,12 +1210,20 @@ class FixedBaseTable:
     def msm_mont(self, scalars_mont):
         """scalars_mont: (P, n, L) horizontal Fr Montgomery limbs.
         Returns a list of P host affine points (None = identity).
-        On the TPU path every batch is padded to P = 8 (zero scalars ->
-        identity): the prover's commit rounds have P in {1,2,3,5}, and one
-        fixed batch shape means ONE compiled kernel set instead of four —
-        the padding costs ~2x device work on small rounds but saves ~15 min
-        of cold Mosaic compiles."""
+        On the TPU path every batch is padded/chunked to P = 8 (zero
+        scalars -> identity): one fixed batch shape means ONE compiled
+        kernel set — the padding costs ~2x device work on small rounds but
+        saves ~15 min of cold Mosaic compiles.  Batches larger than 8 run
+        as several P=8 calls: the per-level VMEM block budgets (the
+        _pick_G caps in _affine_level/_fold8) are sized for P=8, and a
+        single padded P=16 call exceeds Mosaic's scoped-VMEM stack (seen
+        as a compile-time OOM on the r4 prover's 9-poly commit round)."""
         P = scalars_mont.shape[0]
+        if self.vertical and P > 8:
+            out = []
+            for i in range(0, P, 8):
+                out.extend(self.msm_mont(scalars_mont[i : i + 8]))
+            return out
         Pb = 8 if (self.vertical and P <= 8) else 1 << max(P - 1, 0).bit_length()
         if Pb > P:
             scalars_mont = jnp.concatenate(
@@ -1227,13 +1240,36 @@ class FixedBaseTable:
 
 
 def _extract_host(X, Y, Z, P: int):
-    """(L, P*m) projective partial sums -> P host affine points."""
+    """(L, P*m) projective partial sums -> P host affine points.
+
+    All Z inverses share ONE Fermat exponentiation via a Montgomery batch-
+    inversion product tree: the per-point `pow(Z, q-2)` form cost ~0.9 ms
+    per partial sum in python, which at the r4 TAIL_M=16 tail dominated the
+    whole MSM (profiled: device stages ~1 ms, host extract >100 ms)."""
     from ..curve.bn254 import g1_add
 
     m = X.shape[1] // P
     flat = jnp.concatenate([X, Y, Z], axis=1)  # (L, 3*P*m)
     ints = fq_ctx.from_mont_limbs(jnp.moveaxis(flat, 0, -1))
     N = P * m
+    zs = ints[2 * N :]
+    # batch inversion of the nonzero Zs (one pow, 3 muls per element)
+    nz = [z for z in zs if z != 0]
+    inv_map = {}
+    if nz:
+        prefix = [1]
+        for z in nz:
+            prefix.append(prefix[-1] * z % Q_MOD)
+        inv = pow(prefix[-1], Q_MOD - 2, Q_MOD)
+        for idx in range(len(nz) - 1, -1, -1):
+            inv_map[idx] = prefix[idx] * inv % Q_MOD
+            inv = inv * nz[idx] % Q_MOD
+    nz_at = {}
+    pos = 0
+    for k, z in enumerate(zs):
+        if z != 0:
+            nz_at[k] = pos
+            pos += 1
     out = []
     for i in range(P):
         acc = None
@@ -1242,7 +1278,7 @@ def _extract_host(X, Y, Z, P: int):
             Xi, Yi, Zi = ints[k], ints[N + k], ints[2 * N + k]
             if Zi == 0:
                 continue
-            zi = pow(Zi, Q_MOD - 2, Q_MOD)
+            zi = inv_map[nz_at[k]]
             acc = g1_add(acc, (Xi * zi % Q_MOD, Yi * zi % Q_MOD))
         out.append(acc)
     return out

@@ -31,6 +31,11 @@ from ..errors import GroupNotFound
 from ..ff.field import Fr
 from ..ff.jax_field import MontCtx, fr_ctx, L
 
+# Smallest domain routed to the Pallas/fourstep paths.  Module-level so the
+# interpret-mode suite can exercise the production Pallas NTT at a small n
+# (full-size interpret graphs take too long to compile on XLA:CPU).
+PALLAS_MIN_N = 4096
+
 
 class NTTDomain:
     """A size-n radix-2 evaluation domain with device-resident tables."""
@@ -63,7 +68,7 @@ class NTTDomain:
         self._fourstep = n >= 4096
         # Pallas VMEM-resident path (TPU / interpret): all butterflies in
         # fused kernels, coset/n_inv scales ride as pre/post ladders.
-        self._pallas = use_pallas() and n >= 4096
+        self._pallas = use_pallas() and n >= PALLAS_MIN_N
         if self._pallas:
             from .pallas_ntt import build_plan, pallas_fft
 
@@ -95,10 +100,16 @@ class NTTDomain:
                 out = pallas_fft(xv, plan, pre, post)
                 return jnp.moveaxis(out, 0, -1)
 
-            # pre/post ladders are ARGUMENTS: fft/coset_fft share one
-            # executable per direction (ditto ifft/coset_ifft)
-            self._pj_fwd = jax.jit(partial(_pj, self._pplan_fwd))
-            self._pj_inv = jax.jit(partial(_pj, self._pplan_inv))
+            # pre/post ladders are ARGUMENTS (None skips the in-kernel mul;
+            # each present/absent combo traces its own executable).  Under
+            # the interpreter, skip jit: the unrolled CIOS kernel bodies
+            # inline into one enormous XLA:CPU graph whose compile takes
+            # tens of minutes — eager interpret runs them in seconds.
+            from ..ff.pallas_field import interpret_mode
+
+            _wrap = (lambda f: f) if interpret_mode() else jax.jit
+            self._pj_fwd = _wrap(partial(_pj, self._pplan_fwd))
+            self._pj_inv = _wrap(partial(_pj, self._pplan_inv))
             self._post_ladder_cache = {}
         if n > 1 and self._fourstep and not self._pallas:
             self._plan_fwd = fourstep_plan(self.master, n, inverse=False)
@@ -143,14 +154,13 @@ class NTTDomain:
     def fft(self, coeffs):
         """coeffs (m<=n, L) -> evaluations (n, L) at [w^0..w^{n-1}]."""
         if self._pallas:
-            return self._pj_fwd(self._pad(coeffs)[None],
-                                self._ones_ladder, self._ones_ladder)[0]
+            return self._pj_fwd(self._pad(coeffs)[None], None, None)[0]
         return self._fft_jit(self._pad(coeffs))
 
     def ifft(self, evals):
         """evaluations (n, L) -> coefficients (n, L)."""
         if self._pallas:
-            return self._pj_inv(evals[None], self._ones_ladder, self._ninv_ladder)[0]
+            return self._pj_inv(evals[None], None, self._ninv_ladder)[0]
         return self._ifft_jit(evals)
 
     @staticmethod
@@ -173,21 +183,20 @@ class NTTDomain:
         """(B, m<=n, L) -> (B, n, L)."""
         x, b = self._pad_batch(coeffs)
         if self._pallas:
-            return self._pj_fwd(x, self._ones_ladder, self._ones_ladder)[:b]
+            return self._pj_fwd(x, None, None)[:b]
         return self._fft_batch_jit(x)[:b]
 
     def ifft_batch(self, evals):
         x, b = self._pad_batch(evals)
         if self._pallas:
-            return self._pj_inv(x, self._ones_ladder, self._ninv_ladder)[:b]
+            return self._pj_inv(x, None, self._ninv_ladder)[:b]
         return self._ifft_batch_jit(x)[:b]
 
     def coset_fft_batch(self, coeffs, k: int):
         x, b = self._pad_batch(coeffs)
         powers = self.power_ladder(k)
         if self._pallas:
-            return self._pj_fwd(x, jnp.moveaxis(powers, -1, 0),
-                                self._ones_ladder)[:b]
+            return self._pj_fwd(x, jnp.moveaxis(powers, -1, 0), None)[:b]
         return self._fft_batch_jit(self.ctx.mul(x, powers[None]))[:b]
 
     def coset_scale(self, coeffs, k: int):
@@ -229,7 +238,7 @@ class NTTDomain:
     def coset_ifft(self, evals, k: int):
         """Inverse of coset_fft: ifft then scale by k^-j."""
         if self._pallas:
-            return self._pj_inv(evals[None], self._ones_ladder,
+            return self._pj_inv(evals[None], None,
                                 self._coset_post_ladder(k))[0]
         coeffs = self.ifft(evals)
         k_inv = pow(k, self.ctx.p - 2, self.ctx.p)

@@ -215,9 +215,12 @@ def _expand_T(plan, IN: int):
 
 def fft_mid(x, plan, pre=None, post=None):
     """FFT over axis -2 of (L, OUT, S, IN) per `plan`; natural order.
-    `post` must be non-None (every rightmost pass carries an output ladder
-    — possibly all-ones — so each (S, GN) shape compiles at most two kernel
-    variants: with/without pre)."""
+    pre/post may be None: an absent ladder skips a full-array Montgomery
+    mul inside the kernel (~2.1 ms per 2^19-element layer on a v5e) — the
+    plain fft carries no ladders at all, so wiring all-ones ladders through
+    it wasted two layers per call.  Each (S, GN) shape compiles at most
+    three kernel variants in practice: (none,none) fft, (none,post)
+    ifft/coset_ifft, (pre,none) coset_fft, plus (none,T) left branches."""
     if "tws" in plan:
         return _direct_pass(x, plan, pre, post, None)
     S2, S1 = plan["S2"], plan["S1"]

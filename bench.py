@@ -189,7 +189,19 @@ def bench_ntt(n=131072, batch=4, iters=3):
         times.append(time.time() - t0)
     t = min(times)
     bfs = batch * (n // 2) * int(math.log2(n)) / t
-    log(f"ntt n={n} batch={batch}: {t*1e3:.1f} ms -> {bfs:,.0f} butterflies/s")
+    # correctness oracle: the first row's evaluations at 4 domain points vs
+    # an exact host Horner (a wrong-answer NTT must not publish a rate)
+    import numpy as np
+
+    got = fr_ctx.from_mont_limbs(np.asarray(out[0]))
+    row = fr_ctx.from_mont_limbs(np.asarray(data[0]))
+    w = dom.elements()
+    for j in (0, 1, n // 2 + 3, n - 1):
+        exp = 0
+        for c in reversed(row):
+            exp = (exp * w[j] + c) % R_MOD
+        assert got[j] == exp, f"NTT mismatch vs host Horner at {j}"
+    log(f"ntt n={n} batch={batch}: {t*1e3:.1f} ms -> {bfs:,.0f} butterflies/s (oracle ok)")
     return bfs
 
 

@@ -49,24 +49,69 @@ def test_pmul_kernel_interpret_fr_fq(interpret_pallas):
         assert got == [x * y % p for x, y in zip(a, b)]
 
 
-def test_pallas_ntt_interpret_roundtrip(interpret_pallas, monkeypatch):
-    """The production Pallas NTT path (ntt/pallas_ntt.py — active on TPU for
-    n >= PALLAS_MIN_N) through the interpreter: fft vs an exact host Horner
-    oracle, ifft / coset round-trips, and the batch path, at n=512 (small
-    enough that the interpret-mode XLA:CPU graph compiles in seconds, large
-    enough that the recursion splits 512 = 64 x 8 and both the wide-lane and
-    narrow-lane interleave forms run).  Reference semantics: ark-poly
-    Radix2EvaluationDomain (uzkge/src/poly_commit/field_polynomial.rs:552-607)."""
+def _mini_pallas_call(kernel, out_shape, grid, in_specs, out_specs,
+                      compiler_params=None):
+    """Eager grid interpreter for the pallas_call patterns pallas_ntt uses:
+    runs the REAL kernel bodies on numpy block views (XLA:CPU compiles of
+    the jitted/interpret forms take minutes even at n=16 — the kernel body
+    itself is plain jnp and runs eagerly in seconds)."""
+    import itertools
+
+    import numpy as np
+
+    single = not isinstance(out_shape, (tuple, list))
+    oshapes = [out_shape] if single else list(out_shape)
+    ospecs = [out_specs] if single else list(out_specs)
+
+    def call(*args):
+        outs = [np.zeros(s.shape, np.asarray([], dtype=s.dtype).dtype) for s in oshapes]
+        for idx in itertools.product(*(range(g) for g in grid)):
+            refs = []
+            for spec, a in zip(in_specs, args):
+                start = [b * s for b, s in zip(spec.index_map(*idx), spec.block_shape)]
+                sl = tuple(slice(st, st + bs) for st, bs in zip(start, spec.block_shape))
+                refs.append(np.asarray(a)[sl])
+            orefs = []
+            for spec, o in zip(ospecs, outs):
+                start = [b * s for b, s in zip(spec.index_map(*idx), spec.block_shape)]
+                sl = tuple(slice(st, st + bs) for st, bs in zip(start, spec.block_shape))
+                orefs.append(o[sl])  # numpy view: kernel writes go through
+            kernel(*refs, *orefs)
+        import jax.numpy as jnp
+
+        res = [jnp.asarray(o) for o in outs]
+        return res[0] if single else tuple(res)
+
+    return call
+
+
+def test_pallas_ntt_kernel_roundtrip(interpret_pallas, monkeypatch):
+    """The production Pallas NTT (ntt/pallas_ntt.py) with its REAL kernel
+    bodies, plans, block specs and fused ladders, executed eagerly through
+    a mini grid interpreter: fft vs an exact host Horner oracle, ifft /
+    coset round-trips, and the batch path.  n=16 with SMAX patched to 8
+    exercises the recursive split (16 = 8 x 2) and the inter-factor T
+    ladder; production shapes run on hardware via tests/test_tpu_kernels.py.
+    Reference semantics: ark-poly Radix2EvaluationDomain
+    (uzkge/src/poly_commit/field_polynomial.rs:552-607)."""
     import numpy as np
 
     from uzkge_tpu.ff.jax_field import fr_ctx
     from uzkge_tpu.ntt import ntt as nttmod
+    from uzkge_tpu.ntt import pallas_ntt as pnttmod
 
-    monkeypatch.setattr(nttmod, "PALLAS_MIN_N", 512)
-    n = 512
+    monkeypatch.setattr(nttmod, "PALLAS_MIN_N", 16)
+    monkeypatch.setattr(pnttmod, "SMAX", 8)
+    monkeypatch.setattr(pnttmod, "pallas_call", _mini_pallas_call)
+    # bypass the jit wrappers (they would trace the mini interpreter's
+    # python loop); NTTDomain only needs _pj_fwd/_pj_inv to be callable
+    import jax as _jax
+
+    monkeypatch.setattr(_jax, "jit", lambda f, **kw: f)
+    n = 16
     dom = nttmod.NTTDomain(n)
     assert dom._pallas, "pallas path must be active under interpret mode"
-    assert "S2" in dom._pplan_fwd, "n=512 must exercise the recursive split"
+    assert "S2" in dom._pplan_fwd, "n=16/SMAX=8 must exercise the recursive split"
 
     rng = random.Random(11)
     vals = [rng.randrange(R_MOD) for _ in range(n)]
@@ -74,7 +119,7 @@ def test_pallas_ntt_interpret_roundtrip(interpret_pallas, monkeypatch):
 
     ev = fr_ctx.from_mont_limbs(np.asarray(dom.fft(x)))
     w = dom._pows_int
-    for j in (0, 1, 7, 201, n - 1):  # exact host Horner oracle spot-checks
+    for j in range(n):  # exact host Horner oracle, every point
         exp = 0
         for c in reversed(vals):
             exp = (exp * w[j] + c) % R_MOD
@@ -89,7 +134,7 @@ def test_pallas_ntt_interpret_roundtrip(interpret_pallas, monkeypatch):
     cback = np.asarray(dom.coset_ifft(dom.coset_fft(x, k), k))
     assert fr_ctx.from_mont_limbs(cback) == vals
 
-    # batch path shares the executable with the single path
+    # batch path shares the kernel path with the single call
     import jax.numpy as jnp
 
     xb = jnp.stack([jnp.asarray(x)] * 2)

@@ -59,3 +59,42 @@ def test_lagrange_commit_tpu_vs_host_oracle():
     row = [rng.randrange(R_MOD) for _ in range(k)] + [0] * (n - k)
     got = kzg.commit_evals_batch(fr_ctx.to_mont_limbs(row).reshape(1, n, L))[0]
     assert got == g1_msm(kzg._lagrange_points[:k], row[:k])
+
+
+@on_tpu
+def test_pallas_ntt_tpu_vs_host_oracle():
+    """Production Pallas NTT (ntt/pallas_ntt.py routes all n >= 4096 TPU
+    domains) at the prover's witness-domain size: fft vs an exact host
+    Horner oracle at spot points, plus a bit-exact ifft round-trip and a
+    coset round-trip (the fused pre/post ladders).  Reference semantics:
+    ark-poly Radix2EvaluationDomain
+    (uzkge/src/poly_commit/field_polynomial.rs:552-607)."""
+    import jax
+    import numpy as np
+
+    assert jax.default_backend() == "tpu"
+    from uzkge_tpu.constants.bn254 import R_MOD
+    from uzkge_tpu.ff.jax_field import fr_ctx
+    from uzkge_tpu.ntt.ntt import get_domain
+
+    rng = random.Random(31)
+    n = 16384
+    dom = get_domain(n)
+    assert dom._pallas, "TPU domains at n>=4096 must route to the Pallas NTT"
+    vals = [rng.randrange(R_MOD) for _ in range(n)]
+    x = fr_ctx.to_mont_limbs(vals)
+
+    got = fr_ctx.from_mont_limbs(np.asarray(dom.fft(x)))
+    w = dom.elements()
+    for j in (0, 1, 4097, n - 1):
+        exp = 0
+        for c in reversed(vals):
+            exp = (exp * w[j] + c) % R_MOD
+        assert got[j] == exp, f"fft mismatch at {j}"
+
+    back = np.asarray(dom.ifft(dom.fft(x)))
+    assert fr_ctx.from_mont_limbs(back) == vals
+
+    k = 5
+    cback = np.asarray(dom.coset_ifft(dom.coset_fft(x, k), k))
+    assert fr_ctx.from_mont_limbs(cback) == vals

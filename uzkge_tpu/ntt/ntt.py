@@ -101,15 +101,11 @@ class NTTDomain:
                 return jnp.moveaxis(out, 0, -1)
 
             # pre/post ladders are ARGUMENTS (None skips the in-kernel mul;
-            # each present/absent combo traces its own executable).  Under
-            # the interpreter, skip jit: the unrolled CIOS kernel bodies
-            # inline into one enormous XLA:CPU graph whose compile takes
-            # tens of minutes — eager interpret runs them in seconds.
-            from ..ff.pallas_field import interpret_mode
-
-            _wrap = (lambda f: f) if interpret_mode() else jax.jit
-            self._pj_fwd = _wrap(partial(_pj, self._pplan_fwd))
-            self._pj_inv = _wrap(partial(_pj, self._pplan_inv))
+            # each present/absent combo traces its own executable).  The
+            # interpret-mode suite keeps n tiny (tests patch PALLAS_MIN_N /
+            # SMAX) so the unrolled-kernel XLA:CPU compile stays small.
+            self._pj_fwd = jax.jit(partial(_pj, self._pplan_fwd))
+            self._pj_inv = jax.jit(partial(_pj, self._pplan_inv))
             self._post_ladder_cache = {}
         if n > 1 and self._fourstep and not self._pallas:
             self._plan_fwd = fourstep_plan(self.master, n, inverse=False)

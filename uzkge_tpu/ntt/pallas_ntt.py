@@ -25,8 +25,13 @@ Fusions (each saves a full-array XLA Montgomery-mul pass at ~30M muls/s):
     so they thread through unchanged and reshape at the direct pass.
 
 Reference semantics: ark-poly Radix2EvaluationDomain natural-order FFT
-(uzkge/src/poly_commit/field_polynomial.rs:552-607); bit-identical to the
-stockham.py path (cross-checked in tests).
+(uzkge/src/poly_commit/field_polynomial.rs:552-607).  Correctness coverage:
+the default suite runs the real kernel bodies through an eager grid
+interpreter against an exact host Horner oracle
+(tests/test_pallas_kernels.py::test_pallas_ntt_kernel_roundtrip); hardware
+runs are checked at production shape by
+tests/test_tpu_kernels.py::test_pallas_ntt_tpu_vs_host_oracle and by the
+spot oracle inside bench.py's NTT stage.
 """
 
 import functools
@@ -65,8 +70,10 @@ def build_plan(master_mont, n_total: int, size: int, stride: int, inverse: bool)
             l *= 2
         return {"S": size, "tws": flat}
     # split so the recursion's pass lane-widths stay >= 128 where possible
-    # (the stretch/roll interleave needs l*GN >= 128 for free reshapes)
-    S2 = 128 if size // 128 <= SMAX and size >= 16384 else 64
+    # (the stretch/roll interleave needs l*GN >= 128 for free reshapes);
+    # min() keeps the split valid for small test sizes (SMAX is patched
+    # down in the interpret-mode suite)
+    S2 = 128 if size // 128 <= SMAX and size >= 16384 else min(64, size // 2)
     S1 = size // S2
     plan2 = build_plan(master_mont, n_total, S2, stride * S1, inverse)
     plan1 = build_plan(master_mont, n_total, S1, stride * S2, inverse)

@@ -28,6 +28,9 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--devices", type=int, default=8)
 ap.add_argument("--proofs", type=int, default=8)
 ap.add_argument("--msm-n", type=int, default=1024)
+ap.add_argument("--stages", default="prover,msm,ntt",
+                help="comma list: prover,msm,ntt (the 8-thread prover "
+                     "compile can exhaust XLA:CPU JIT memory on small hosts)")
 ap.add_argument("--ntt-n", type=int, default=16384)
 args = ap.parse_args()
 
@@ -164,11 +167,15 @@ def bench_ntt():
 if __name__ == "__main__":
     import json
 
+    stages = set(args.stages.split(","))
     out = {
         "devices": len(jax.devices()),
         "platform": jax.devices()[0].platform,
-        "prover_batch": bench_prover_batch(),
-        "msm_batch": bench_msm_batch(),
-        "ntt_four_step": bench_ntt(),
     }
+    if "prover" in stages:
+        out["prover_batch"] = bench_prover_batch()
+    if "msm" in stages:
+        out["msm_batch"] = bench_msm_batch()
+    if "ntt" in stages:
+        out["ntt_four_step"] = bench_ntt()
     print(json.dumps(out))
